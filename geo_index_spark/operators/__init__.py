@@ -1,0 +1,17 @@
+"""Distributed spatial operators (DataFrame-in, DataFrame-out).
+
+Each operator is the Spark-native re-expression of a reference operator
+(SURVEY.md §2 inventory); hot paths are pure Catalyst column expressions
+so the 100 TB plan stays inside whole-stage codegen.
+"""
+
+from geo_index_spark.operators.partitioning import (  # noqa: F401
+    global_bounds,
+    hilbert_partition,
+    partition_boxes,
+    partitions,
+    boxes_at_level,
+)
+from geo_index_spark.operators.search import bbox_search, kd_range, within  # noqa: F401
+from geo_index_spark.operators.knn import knn  # noqa: F401
+from geo_index_spark.operators.join import spatial_join  # noqa: F401

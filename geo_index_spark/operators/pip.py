@@ -1,0 +1,141 @@
+"""Exact point-in-polygon refinement + raster<->vector zonal join
+(north-rule surface; the reference stops at bbox candidates and
+delegates exact tests to the caller — reference
+python/python/geoindex_rs/rtree.pyi:56-63).
+
+Two-phase plan (SURVEY.md §4 custom rule 4):
+  1. *candidates*: bbox-overlap join of points vs polygon bboxes — pure
+     Catalyst (operators/join.spatial_join or a broadcast filter).
+  2. *refine*: vectorized even-odd ray-cast over Arrow batches
+     (numpy over all candidate pairs grouped by polygon — no per-row
+     Python). Boundary semantics: even-odd crossing with the
+     half-open edge rule (a point exactly on a horizontal-crossing
+     vertex counts once); points on a right/top edge may be excluded —
+     deterministic, documented, and pinned by goldens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+
+def ray_cast_np(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd ray cast of many points against one closed ring
+    ((k, 2) array, last vertex may equal first). Vectorized over
+    points x edges."""
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) >= 2 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    px = np.asarray(px, np.float64)[:, None]
+    py = np.asarray(py, np.float64)[:, None]
+    cond = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+    crossings = cond & (px < xin)
+    return (crossings.sum(axis=1) % 2).astype(bool)
+
+
+def point_in_polygon(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "row_id",
+    poly_id: str = "poly_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    vertices_col: str = "vertices",
+    grid_level: int = 5,
+) -> DataFrame:
+    """(point_id, poly_id) pairs where the point lies inside the polygon.
+
+    Phase 1 joins points (as degenerate boxes) to polygon bboxes via the
+    grid candidate join; phase 2 refines with the ray-cast in an Arrow
+    pandas UDF evaluated against broadcast polygon rings.
+    """
+    from geo_index_spark.operators.join import spatial_join
+
+    pts = points.select(
+        F.col(point_id).alias("pt_id"),
+        F.col(x_col).alias("minx"),
+        F.col(y_col).alias("miny"),
+        F.col(x_col).alias("maxx"),
+        F.col(y_col).alias("maxy"),
+        F.col(x_col).alias("px"),
+        F.col(y_col).alias("py"),
+    )
+    polys = polygons.select(
+        F.col(poly_id).alias("pg_id"), "minx", "miny", "maxx", "maxy"
+    )
+    cand = spatial_join(
+        pts,
+        polys,
+        left_id="pt_id",
+        right_id="pg_id",
+        grid_level=grid_level,
+    ).withColumnsRenamed({"left_id": "pt_id", "right_id": "pg_id"})
+
+    cand = cand.join(points.select(F.col(point_id).alias("pt_id"), F.col(x_col).alias("px"), F.col(y_col).alias("py")), "pt_id")
+
+    # broadcast the polygon rings to executors once (polygon dims are
+    # small relative to points at web scale)
+    rings = {
+        r["pg"]: np.array(r["v"], dtype=np.float64)
+        for r in polygons.select(
+            F.col(poly_id).alias("pg"), F.col(vertices_col).alias("v")
+        ).collect()
+    }
+    spark = points.sparkSession
+    bc = spark.sparkContext.broadcast(rings)
+
+    @F.pandas_udf(BooleanType())
+    def inside(pg_id: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+        out = np.zeros(len(pg_id), dtype=bool)
+        pgv = pg_id.to_numpy()
+        pxv = px.to_numpy()
+        pyv = py.to_numpy()
+        for pg in np.unique(pgv):
+            m = pgv == pg
+            ring = bc.value.get(pg)
+            if ring is not None:
+                out[m] = ray_cast_np(pxv[m], pyv[m], ring)
+        return pd.Series(out)
+
+    return (
+        cand.filter(inside(F.col("pg_id"), F.col("px"), F.col("py")))
+        .select(F.col("pt_id").alias(point_id), F.col("pg_id").alias(poly_id))
+    )
+
+
+def zonal_stats(
+    raster: DataFrame,
+    polygons: DataFrame,
+    value_col: str = "value",
+    poly_id: str = "poly_id",
+    cell_id: str = "cell_id",
+    grid_level: int = 5,
+) -> DataFrame:
+    """Raster<->vector zonal join: raster cells (boxes) are candidate-
+    joined to polygon bboxes, refined by cell-center-in-polygon, then
+    aggregated per zone — ``groupBy(poly_id).agg(count/sum/avg/min/max)``
+    (all map-side combinable)."""
+    cx = (F.col("minx") + F.col("maxx")) / 2
+    cy = (F.col("miny") + F.col("maxy")) / 2
+    centers = raster.select(
+        F.col(cell_id).alias("row_id"), cx.alias("x"), cy.alias("y")
+    )
+    hits = point_in_polygon(
+        centers, polygons, point_id="row_id", poly_id=poly_id, grid_level=grid_level
+    ).withColumnRenamed("row_id", cell_id)
+    joined = hits.join(raster.select(cell_id, value_col), cell_id)
+    return joined.groupBy(poly_id).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(value_col).alias("sum_value"),
+        F.avg(value_col).alias("avg_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )

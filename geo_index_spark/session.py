@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-oriented defaults.
+
+All knobs here are chosen for the 100 TB design point and merely *sized
+down* for the sandbox (local[32], 128 GiB):
+
+* AQE on (runtime coalesce + skew-join splitting — our spatial grid join
+  produces skewed cells for city-clustered geotags).
+* Arrow execution on, large batches (local index kernels are vectorized
+  numpy over Arrow batches).
+* shuffle.partitions defaults to cores in local mode; on a real cluster
+  this is set to ~2-3x total executor cores by the submitter.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "geo_index_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

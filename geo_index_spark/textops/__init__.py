@@ -1,0 +1,22 @@
+"""Web-scale training-data pipeline operators over document tables:
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search, and text analysis.
+
+Every operator is pure Catalyst (generated column expressions — even
+MinHash signatures and SimHash bit-majorities), so each has an exact
+ANSI-SQL oracle and no Python on the hot path.
+"""
+
+from geo_index_spark.textops.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from geo_index_spark.textops.quality import (  # noqa: F401
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from geo_index_spark.textops.ann import cosine_topk, lsh_cosine_topk  # noqa: F401

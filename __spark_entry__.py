@@ -53,7 +53,7 @@ TILE_BOUNDS = (0.0, 0.0, 500.0, 150.0)
 TILE_LEVEL = 8
 ROLLUP_LEVEL = 5
 NODE_SIZE = 256
-JACCARD = (1, 9)  # tau = 1/9
+JACCARD = (1, 2)  # tau = 1/2 (genuine near-dups; 1/9 is degenerate on word-bag docs)
 ANN_K = 25
 COS_TAU = 0.4
 _rngq = np.random.default_rng(0)

@@ -1,0 +1,164 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is forced
+with a noop-equivalent action (count / small agg collect) after a warm
+session; times are wall-clock seconds per query.
+
+Throughput metric (BASELINE.json): spatial-join M input rows/sec =
+(|L| + |R|) / t over the events self-join. The scaling-efficiency
+evidence (local[8] vs local[32]) is produced by scripts/scaling_bench.py
+which runs THIS file twice with different SPARK_GRAFT_CPUS and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+from geo_index_spark.operators import knn, spatial_join, within
+from geo_index_spark.operators.partitioning import hilbert_partition
+from geo_index_spark.operators.search import kd_range
+from geo_index_spark.operators.tiling import quad_cell_col
+from geo_index_spark.session import get_spark
+from geo_index_spark.textops import dedup as D
+from geo_index_spark.textops import ann as A
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _events_pts(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.col("value").alias("x"),
+        F.col("user_id").cast("double").alias("y"),
+    )
+
+
+def _events_boxes(spark, half=0.5):
+    return _events_pts(spark).select(
+        F.col("event_id").alias("row_id"),
+        (F.col("x") - half).alias("minx"),
+        (F.col("y") - half).alias("miny"),
+        (F.col("x") + half).alias("maxx"),
+        (F.col("y") + half).alias("maxy"),
+    )
+
+
+def main() -> None:
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers
+    ev = _events_pts(spark)
+    n_events = ev.count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+        return out
+
+    # 1. Hilbert clustering (build stage): partition + sort + materialize
+    timed(
+        "hilbert_build",
+        lambda: hilbert_partition(ev, CPUS, cols=("x", "y")).write.mode("overwrite").format(
+            "noop"
+        ).save(),
+    )
+
+    # 2. bbox search
+    timed("bbox_search", lambda: kd_range(ev, 100, 20, 200, 80).count())
+
+    # 3. radius search
+    timed("within", lambda: within(ev, 250.0, 75.0, 40.0).count())
+
+    # 4. kNN
+    timed("knn", lambda: knn(ev, 123.45, 67.0, 100, id_col="event_id").collect())
+
+    # 5. spatial self-join (headline) — skewless grid, AQE on
+    boxes = _events_boxes(spark)
+    n_pairs = timed(
+        "spatial_join_events", lambda: spatial_join(boxes, boxes, grid_level=7).count()
+    )
+    t_join = timings["spatial_join_events"]
+    extras["join_input_mrows_per_sec"] = round((2 * n_events / 1e6) / t_join, 4)
+    extras["join_output_pairs"] = int(n_pairs)
+    extras["join_output_mpairs_per_sec"] = round((n_pairs / 1e6) / t_join, 4)
+
+    # 6. point-vs-box join, broadcast small side
+    parts = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        F.col("p_partkey").alias("row_id"),
+        F.col("p_size").cast("double").alias("minx"),
+        (F.col("p_retailprice") / 10.0).alias("miny"),
+        (F.col("p_size") + F.lit(3.0)).cast("double").alias("maxx"),
+        (F.col("p_retailprice") / 10.0 + F.lit(3.0)).alias("maxy"),
+    )
+    pts_as_boxes = _events_boxes(spark, half=0.0)
+    timed(
+        "spatial_join_broadcast",
+        lambda: spatial_join(
+            pts_as_boxes, parts, grid_level=5, broadcast_side="right"
+        ).count(),
+    )
+
+    # 7. tile assignment + rollup
+    timed(
+        "tile_rollup",
+        lambda: ev.groupBy(
+            quad_cell_col(F.col("x"), F.col("y"), 8, (0.0, 0.0, 500.0, 150.0)).alias("c")
+        )
+        .count()
+        .count(),
+    )
+
+    # 8. dedup: minhash-LSH near-dup pairs over documents
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed(
+        "minhash_lsh_docs",
+        lambda: D.minhash_near_dup_pairs(docs, n=4, num_hashes=16, tau_num=1, tau_den=2).count(),
+    )
+
+    # 9. ANN: brute cosine top-k over embeddings
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    import numpy as np
+
+    q = [round(float(v), 4) for v in np.random.default_rng(0).standard_normal(64)]
+    timed("cosine_topk", lambda: A.cosine_topk(emb, q, 25).collect())
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_join_input_mrows_per_sec",
+                "value": extras["join_input_mrows_per_sec"],
+                "unit": "Mrows/sec",
+                "total_sec": total,
+                "queries": timings,
+                "extras": extras,
+                "cpus": CPUS,
+                "n_events": n_events,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

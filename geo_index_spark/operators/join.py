@@ -81,6 +81,38 @@ def _with_cells(
     )
 
 
+def _side_stats(df: DataFrame, cols) -> tuple[float, float, float, float, float, float]:
+    mnx, mny, mxx, mxy = (F.col(c) for c in cols)
+    r = df.agg(
+        F.min(mnx).alias("a"),
+        F.min(mny).alias("b"),
+        F.max(mxx).alias("c"),
+        F.max(mxy).alias("d"),
+        F.avg(mxx - mnx).alias("w"),
+        F.avg(mxy - mny).alias("h"),
+    ).first()
+    return (r["a"], r["b"], r["c"], r["d"], r["w"] or 0.0, r["h"] or 0.0)
+
+
+def choose_grid_level(
+    bounds: tuple[float, float, float, float], avg_w: float, avg_h: float
+) -> int:
+    """Planner heuristic: cell edge ~ 4x the mean box edge, so a box
+    lands in 1-2 cells per axis while dense clusters still split across
+    many cells (the per-cell nested-loop stays small). Clamped to
+    [4, 16]."""
+    import math
+
+    ext = max(bounds[2] - bounds[0], bounds[3] - bounds[1])
+    target = max(avg_w, avg_h) * 4.0
+    if ext <= 0:
+        return 4
+    if target <= 0:
+        # degenerate/point inputs: aim for ~1e-4 of the extent per cell
+        return 13
+    return max(4, min(16, round(math.log2(ext / target))))
+
+
 def spatial_join(
     left: DataFrame,
     right: DataFrame,
@@ -89,21 +121,25 @@ def spatial_join(
     left_cols: tuple[str, str, str, str] = BOX,
     right_cols: tuple[str, str, str, str] = BOX,
     bounds: tuple[float, float, float, float] | None = None,
-    grid_level: int = 6,
+    grid_level: int | None = None,
     broadcast_side: str | None = None,  # 'left' | 'right' | None (let Catalyst/AQE pick)
 ) -> DataFrame:
-    """All (left_id, right_id) pairs with inclusively-overlapping boxes."""
-    from geo_index_spark.operators.partitioning import global_bounds
-
-    if bounds is None:
-        lb = global_bounds(left, left_cols)
-        rb = global_bounds(right, right_cols)
-        bounds = (
-            min(lb[0], rb[0]),
-            min(lb[1], rb[1]),
-            max(lb[2], rb[2]),
-            max(lb[3], rb[3]),
-        )
+    """All (left_id, right_id) pairs with inclusively-overlapping boxes.
+    ``grid_level=None`` auto-sizes the grid from one stats pass per side."""
+    if bounds is None or grid_level is None:
+        ls = _side_stats(left, left_cols)
+        rs = _side_stats(right, right_cols)
+        if bounds is None:
+            bounds = (
+                min(ls[0], rs[0]),
+                min(ls[1], rs[1]),
+                max(ls[2], rs[2]),
+                max(ls[3], rs[3]),
+            )
+        if grid_level is None:
+            grid_level = choose_grid_level(
+                bounds, max(ls[4], rs[4]), max(ls[5], rs[5])
+            )
     nc = 1 << grid_level
     lox, loy, hix, hiy = (float(b) for b in bounds)
     inv_wx = nc / (hix - lox) if hix > lox else 0.0

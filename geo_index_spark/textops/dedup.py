@@ -140,42 +140,79 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     n: int = 4,
     num_hashes: int = 16,
+    band_rows: int = 4,
     tau_num: int = 1,
     tau_den: int = 2,
 ) -> DataFrame:
-    """MinHash/LSH with bands of 1 row (each of the ``num_hashes``
-    signatures is a band): candidates collide on any signature, then are
-    refined by exact integer-threshold Jaccard. Deterministic — the SQL
-    oracle replays the identical LSH, so output parity is exact, not
-    probabilistic."""
-    sh = shingles(docs, id_col, text_col, n).withColumn("h", hp_col(F.col("s"))).cache()
+    """MinHash/LSH: ``num_hashes`` signatures grouped into bands of
+    ``band_rows`` rows; candidates collide on a whole band (collision
+    prob J^r per band — this keeps dissimilar pairs out of the
+    candidate join, which is what makes the operator viable at scale),
+    then are refined by exact integer-threshold Jaccard. Deterministic —
+    the SQL oracle replays the identical LSH, so output parity is exact,
+    not probabilistic."""
+    if num_hashes % band_rows:
+        raise ValueError("num_hashes must be a multiple of band_rows")
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # repartition BEFORE the shingle explode: a single-file doc table
+    # otherwise runs the whole md5 stage on one core
+    sh = (
+        shingles(docs.repartition(par), id_col, text_col, n)
+        .withColumn("h", hp_col(F.col("s")))
+        .cache()
+    )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"mh{j}")
         for j, (a, b) in enumerate(seeds(num_hashes))
     ] + [F.count(F.lit(1)).alias("sz")]
     sig = sh.groupBy("id").agg(*aggs)
-    # unpivot to (id, band j, value) and self-join per band
-    stack_expr = ", ".join(f"{j}, mh{j}" for j in range(num_hashes))
-    bands = sig.selectExpr("id", f"stack({num_hashes}, {stack_expr}) AS (j, v)")
+    n_bands = num_hashes // band_rows
+    parts = [
+        sig.select(
+            "id",
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+            ).alias("v"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = parts[0]
+    for p in parts[1:]:
+        bands = bands.unionAll(p)
     cand = (
         bands.alias("x")
-        .join(bands.alias("y"), on=["j", "v"])
+        .join(bands.alias("y"), on=["band", "v"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    # exact-Jaccard refinement on candidates only
-    a_sh = sh.select(F.col("id").alias("a"), "s")
-    b_sh = sh.select(F.col("id").alias("b"), "s")
-    inter = (
-        cand.join(a_sh, "a").join(b_sh, ["b", "s"]).groupBy("a", "b").agg(
-            F.count(F.lit(1)).alias("inter")
-        )
+    # exact-Jaccard refinement on candidates only. Intersection counts
+    # come from array_intersect against per-doc sorted shingle-hash sets
+    # (docs-sized side, broadcastable) rather than a candidates-x-shingles
+    # counting join — when similarity is common, |candidates| >> |docs|
+    # and the array path avoids an 1e9-row shuffle. Intersections use a
+    # 60-bit md5-prefix hash of each shingle (long compares ~10x faster
+    # than strings; collision odds ~|vocab|^2 / 2^61 — negligible, and
+    # equal for Spark and the SQL oracle since both compare exact sets
+    # up to that hash).
+    h60 = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+    sets = sh.withColumn("h60", h60).groupBy("id").agg(
+        F.sort_array(F.collect_set("h60")).alias("hs"), F.count(F.lit(1)).alias("sz")
     )
-    sizes = sig.select("id", "sz")
     out = (
-        inter.join(sizes.withColumnsRenamed({"id": "a", "sz": "sza"}), "a")
-        .join(sizes.withColumnsRenamed({"id": "b", "sz": "szb"}), "b")
+        cand.repartition(par, "a", "b")  # AQE would coalesce millions of
+        # candidate pairs into one task; the refine stage must stay wide
+        .join(
+            F.broadcast(sets.select(F.col("id").alias("a"), F.col("hs").alias("ha"), F.col("sz").alias("sza"))),
+            "a",
+        )
+        .join(
+            F.broadcast(sets.select(F.col("id").alias("b"), F.col("hs").alias("hb"), F.col("sz").alias("szb"))),
+            "b",
+        )
+        .withColumn("inter", F.size(F.array_intersect(F.col("ha"), F.col("hb"))))
         .filter(
             F.col("inter") * F.lit(tau_den + tau_num)
             >= F.lit(tau_num) * (F.col("sza") + F.col("szb"))
@@ -190,6 +227,7 @@ def minhash_near_dup_pairs_sql(
     text_col: str = "text",
     n: int = 4,
     num_hashes: int = 16,
+    band_rows: int = 4,
     tau_num: int = 1,
     tau_den: int = 2,
     table: str = "documents",
@@ -204,9 +242,14 @@ def minhash_near_dup_pairs_sql(
       FROM sh, seeds GROUP BY id, j
     ),
     sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    bands AS (
+      SELECT id, j // {band_rows} AS band,
+             string_agg(v::VARCHAR, '_' ORDER BY j) AS bv
+      FROM sig GROUP BY id, j // {band_rows}
+    ),
     cand AS (
       SELECT DISTINCT x.id AS a, y.id AS b
-      FROM sig x JOIN sig y ON x.j = y.j AND x.v = y.v AND x.id < y.id
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.id < y.id
     ),
     inter AS (
       SELECT c.a, c.b, count(*) AS inter

@@ -1,0 +1,114 @@
+"""Dedup / quality / ANN operators — semantic goldens (DuckDB-oracle
+parity runs in test_entry_contract.py; here we pin behavior on crafted
+inputs where ground truth is known by construction)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geo_index_spark.textops import ann as A
+from geo_index_spark.textops import dedup as D
+from geo_index_spark.textops import quality as Q
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumped over the lazy dog", "en"),  # near dup
+        (3, "der schnelle braune fuchs springt und der hund ist faul", "de"),
+        (4, "completely different content about databases and indexes", "en"),
+        (5, "le renard brun rapide saute et le chien est paresseux", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {(r.doc_id, r.n_copies) for r in D.exact_dedup(docs).collect()}
+    assert (0, 2) in out
+    assert len(out) == 5  # 6 docs, one pair merged
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r.a_id, r.b_id) for r in D.ngram_jaccard_pairs(docs, n=4, tau_num=1, tau_den=2).collect()}
+    assert (0, 1) in pairs  # identical
+    assert (0, 2) in pairs and (1, 2) in pairs  # one-word edit
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, docs):
+    """On identical thresholds, LSH+refine must return a subset of the
+    exact pairs; with 16 single-row bands it catches all high-J pairs."""
+    exact = {(r.a_id, r.b_id) for r in D.ngram_jaccard_pairs(docs, n=4, tau_num=1, tau_den=2).collect()}
+    lsh = {(r.a_id, r.b_id) for r in D.minhash_near_dup_pairs(docs, n=4, num_hashes=16, tau_num=1, tau_den=2).collect()}
+    assert lsh <= exact
+    assert (0, 1) in lsh and (0, 2) in lsh
+
+
+def test_simhash_identical_and_near(spark, docs):
+    fp = {r.id: r.simhash for r in D.simhash(docs).collect()}
+    assert fp[0] == fp[1]
+    # one-word edit flips few bits
+    assert bin(fp[0] ^ fp[2]).count("1") <= 10
+    pairs = {(r.a_id, r.b_id) for r in D.simhash_pairs(docs, max_hamming=10).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+
+
+def test_language_id(spark, docs):
+    out = {r.id: r.lang_pred for r in Q.language_id(docs).collect()}
+    assert out[0] == "en" and out[3] == "de" and out[5] == "fr"
+
+
+def test_token_count_and_quality(spark, docs):
+    toks = {r.id: r.n_tokens for r in Q.token_count(docs).collect()}
+    assert toks[0] == 9
+    q = {r.id: r for r in Q.quality_score(docs).collect()}
+    assert q[0].n_chars == 43
+    assert q[0].punct_ratio_pm == 0
+
+
+def test_fingerprint_matches_md5(spark, docs):
+    import hashlib
+
+    out = {r.id: r.fingerprint for r in Q.doc_fingerprint(docs).collect()}
+    want = hashlib.md5(b"the quick brown fox jumps over the lazy dog").hexdigest()[:16]
+    assert out[0] == want
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    base[7] = base[3] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near-dup pair
+    rows = [(i, [float(v) for v in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
+
+
+def test_cosine_topk_exact(spark, emb):
+    df, base = emb
+    q = [float(v) for v in base[3]]
+    got = [r.id for r in A.cosine_topk(df, q, 5).collect()]
+    # numpy oracle
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    qn = np.asarray(q) / np.linalg.norm(q)
+    order = np.argsort(-(bn @ qn), kind="stable")[:5]
+    assert got[0] == 3 and got[1] == 7
+    assert set(got) == set(int(i) for i in order)
+
+
+def test_cosine_near_dup_pairs(spark, emb):
+    df, _ = emb
+    pairs = {(r.a_id, r.b_id) for r in A.cosine_near_dup_pairs(df, tau=0.99).collect()}
+    assert pairs == {(3, 7)}
+
+
+def test_lsh_cosine_topk_recall(spark, emb):
+    df, base = emb
+    q = [float(v) for v in base[3]]
+    exact = [r.id for r in A.cosine_topk(df, q, 3).collect()]
+    approx = [r.id for r in A.lsh_cosine_topk(df, q, 3, dim=16, n_planes=8, probe_hamming=3).collect()]
+    # top-1 must survive LSH (query bucket contains its own vector)
+    assert approx and approx[0] == exact[0]

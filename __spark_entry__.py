@@ -195,6 +195,32 @@ def q_spatial_join_events_parts(spark, sf_dir):
     return spatial_join(pts, b, grid_level=5, broadcast_side="right")
 
 
+def q_knn_boxes_parts(spark, sf_dir):
+    """Q5: kNN over a box table by point-to-box distance
+    (reference src/rtree/trait.rs:397-500 geometry kNN lower bound)."""
+    from geo_index_spark.operators.knn import knn_boxes
+
+    b = _part_boxes(spark, sf_dir)
+    out = knn_boxes(b, 25.0, 95.0, 50)
+    return out.select("row_id", F.round(F.col("dist"), 6).alias("dist_r"))
+
+
+def q_indexed_bbox_events(spark, sf_dir):
+    """B1+Q1 via the index-as-buffer path: per-partition serialized
+    flatbush blobs built in mapInArrow, pruned+probed for a bbox —
+    result set must equal the plain scan (same contract as Q1)."""
+    from geo_index_spark.operators.localbuild import (
+        build_partition_indexes,
+        search_partition_indexes,
+    )
+
+    pts = _events_pts(spark, sf_dir)
+    idx = build_partition_indexes(pts, 8, cols=("x", "y"), id_col="event_id")
+    return search_partition_indexes(idx, 100, 20, 200, 80).withColumnRenamed(
+        "row_id", "event_id"
+    )
+
+
 def q_zonal_stats_rect(spark, sf_dir):
     """North rule: zonal stats of points over rectangular zones (bbox
     containment is exact for rects — the raster/vector zonal shape)."""
@@ -301,6 +327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup_events": q_tile_rollup_events,
         "spatial_join_parts": q_spatial_join_parts,
         "spatial_join_events_parts": q_spatial_join_events_parts,
+        "knn_boxes_parts": q_knn_boxes_parts,
+        "indexed_bbox_events": q_indexed_bbox_events,
         "zonal_stats_rect": q_zonal_stats_rect,
         "events_hourly_rollup": q_events_hourly_rollup,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -398,6 +426,17 @@ def oracle_sql() -> dict[str, str]:
             FROM {_EV_PTS} e, b
             WHERE e.x >= b.minx AND e.x <= b.maxx AND e.y >= b.miny AND e.y <= b.maxy
         """,
+        "knn_boxes_parts": f"""
+            WITH b AS ({PART_BOXES_SQL}),
+            d AS (
+              SELECT row_id,
+                sqrt(pow(greatest(0.0, minx - 25.0, 25.0 - maxx), 2)
+                   + pow(greatest(0.0, miny - 95.0, 95.0 - maxy), 2)) AS dist
+              FROM b)
+            SELECT row_id, round(dist, 6) AS dist_r FROM d
+            ORDER BY dist ASC, row_id ASC LIMIT 50
+        """,
+        "indexed_bbox_events": f"SELECT event_id FROM {_EV_PTS} WHERE x >= 100 AND x <= 200 AND y >= 20 AND y <= 80",
         "zonal_stats_rect": f"""
             SELECT zone_id, count(*) AS n, round(sum(x), 4) AS sum_x
             FROM {_EV_PTS} e JOIN {ZONES_SQL}

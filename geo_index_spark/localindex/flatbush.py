@@ -338,6 +338,26 @@ def _ragged_arange(counts: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
+def f64_box_to_f32(
+    min_x: float, min_y: float, max_x: float, max_y: float
+) -> tuple[np.float32, np.float32, np.float32, np.float32]:
+    """X7: cast an f64 box to f32 widening with nextafter so the f32 box
+    always CONTAINS the f64 box (reference src/rtree/util.rs:26-51)."""
+    nmx = np.float32(min_x)
+    nmy = np.float32(min_y)
+    nxx = np.float32(max_x)
+    nxy = np.float32(max_y)
+    if float(nmx) > min_x:
+        nmx = np.nextafter(nmx, np.float32(-np.inf))
+    if float(nmy) > min_y:
+        nmy = np.nextafter(nmy, np.float32(-np.inf))
+    if float(nxx) < max_x:
+        nxx = np.nextafter(nxx, np.float32(np.inf))
+    if float(nxy) < max_y:
+        nxy = np.nextafter(nxy, np.float32(np.inf))
+    return nmx, nmy, nxx, nxy
+
+
 _EARTH_R = 6378137.0  # reference src/rtree/distance.rs (WGS84 semi-major)
 
 

@@ -1,0 +1,145 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` payloads with typed metadata; all Spark-side
+mechanics (schema, Arrow batch shape, partitioning, UDF signatures) are
+real and tested. The codec layer is STUBBED per the sandbox contract
+(no image/audio libraries in this container): payloads carrying the
+deterministic FAKE container header decode reproducibly; anything else
+raises ``NotImplementedError("real codec not available ...")`` at the
+exact point a production deployment would call into pillow/ffmpeg.
+
+FAKE container format (deterministic, for tests and plumbing):
+  b"FAKE" + kind[3] (IMG|AUD|VID) + u16 width + u16 height +
+  u32 sample_rate + u32 n_frames + raw body bytes
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "media_id long, kind string, payload binary"
+META_SCHEMA = (
+    "media_id long, kind string, width int, height int, sample_rate int,"
+    " n_frames int, body_bytes long"
+)
+_MAGIC = b"FAKE"
+_HDR = struct.Struct("<3sHHII")
+
+
+def encode_fake(kind: str, width: int, height: int, sample_rate: int, n_frames: int, body: bytes) -> bytes:
+    return _MAGIC + _HDR.pack(kind.encode()[:3], width, height, sample_rate, n_frames) + body
+
+
+def decode_header(payload: bytes) -> dict:
+    if payload[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real codec not available in this container — only the FAKE "
+            "container decodes; swap this branch for pillow/soundfile/ffmpeg "
+            "in production"
+        )
+    kind, w, h, sr, nf = _HDR.unpack(payload[4 : 4 + _HDR.size])
+    return {
+        "kind": kind.decode(),
+        "width": w,
+        "height": h,
+        "sample_rate": sr,
+        "n_frames": nf,
+        "body": payload[4 + _HDR.size :],
+    }
+
+
+def extract_media_meta(media: DataFrame) -> DataFrame:
+    """Parse typed metadata out of payload headers — ``mapInPandas``
+    over Arrow batches (the real-codec call site)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_header(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": [m["kind"] for m in metas],
+                    "width": np.array([m["width"] for m in metas], dtype=np.int32),
+                    "height": np.array([m["height"] for m in metas], dtype=np.int32),
+                    "sample_rate": np.array([m["sample_rate"] for m in metas], dtype=np.int32),
+                    "n_frames": np.array([m["n_frames"] for m in metas], dtype=np.int32),
+                    "body_bytes": np.array([len(m["body"]) for m in metas], dtype=np.int64),
+                }
+            )
+
+    return media.mapInPandas(run, META_SCHEMA)
+
+
+def media_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Deterministic content feature: normalized byte histogram of the
+    body (a real vectorized computation standing in for an embedding
+    model; the batch shape — binary in, array<float> out — is exactly
+    what a GPU encoder stage consumes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                body = decode_header(bytes(p))["body"]
+                arr = np.frombuffer(body, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=n_bins).astype(np.float64)
+                tot = hist.sum()
+                feats.append((hist / tot if tot else hist).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"].to_numpy(), "features": feats})
+
+    return media.mapInPandas(run, "media_id long, features array<double>")
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling: emits (media_id, frame_idx) rows for every
+    ``every_n``-th frame. Frame decode itself is the stubbed codec call —
+    here we emit frame indexes + deterministic fake frame bytes from the
+    FAKE container so downstream plumbing (explode-shaped output, binary
+    frames) is fully exercised."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                m = decode_header(bytes(p))
+                if m["kind"] != "VID":
+                    continue
+                for fi in range(0, m["n_frames"], every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    # stub decode: a real build calls ffmpeg here
+                    frames.append(m["body"][fi % max(len(m["body"]), 1) :][:16])
+            yield pd.DataFrame(
+                {
+                    "media_id": np.array(ids, dtype=np.int64),
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(run, "media_id long, frame_idx int, frame binary")
+
+
+def fake_media_df(spark, n: int = 50, seed: int = 11) -> DataFrame:
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["IMG", "AUD", "VID"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        body = rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8).tobytes()
+        payload = encode_fake(
+            kind,
+            int(rng.integers(16, 4096)),
+            int(rng.integers(16, 4096)),
+            int(rng.integers(8000, 48000)),
+            int(rng.integers(1, 300)),
+            body,
+        )
+        rows.append((i, kind, bytearray(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

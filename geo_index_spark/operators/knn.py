@@ -42,6 +42,35 @@ def haversine_dist_col(lon: Column, lat: Column, qlon: float, qlat: float) -> Co
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(h))
 
 
+def box_distance_col(
+    minx: Column, miny: Column, maxx: Column, maxy: Column, qx: float, qy: float
+) -> Column:
+    """Euclidean distance from point (qx, qy) to a box, 0 inside —
+    the reference's axis_dist composition (src/rtree/trait.rs:570-579)."""
+    dx = F.greatest(F.lit(0.0), F.greatest(minx - F.lit(float(qx)), F.lit(float(qx)) - maxx))
+    dy = F.greatest(F.lit(0.0), F.greatest(miny - F.lit(float(qy)), F.lit(float(qy)) - maxy))
+    return F.sqrt(dx * dx + dy * dy)
+
+
+def knn_boxes(
+    df: DataFrame,
+    qx: float,
+    qy: float,
+    k: int,
+    max_distance: float | None = None,
+    cols: tuple[str, str, str, str] = ("minx", "miny", "maxx", "maxy"),
+    id_col: str = "row_id",
+) -> DataFrame:
+    """Q3/Q5 over a BOX table: top-k boxes by point-to-box distance
+    (the reference's native kNN operates on leaf boxes; geometry
+    queries refine the same lower bound, src/rtree/trait.rs:397-500)."""
+    mnx, mny, mxx, mxy = (F.col(c) for c in cols)
+    out = df.withColumn("dist", box_distance_col(mnx, mny, mxx, mxy, qx, qy))
+    if max_distance is not None:
+        out = out.filter(F.col("dist") <= F.lit(float(max_distance)))
+    return out.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(int(k))
+
+
 def knn(
     df: DataFrame,
     qx: float,

@@ -1,0 +1,147 @@
+"""Distributed index-as-buffer: the reference's core artifact (an
+ABI-stable serialized tree, src/rtree/index.rs:161-201) realized as a
+table of per-partition flatbush blobs.
+
+Two-level scheme (SURVEY.md §1.1): Hilbert-range partition the data
+(global level), then each Spark partition builds a packed R-tree over
+its slice inside ``mapInArrow`` (local level) and emits ONE row:
+``(num_items, minx..maxy, tree: binary, ids: binary)``. The blob is
+byte-compatible flatbush v3, so any flatbush reader (JS/Rust/Python)
+can consume it; ``ids`` is the parallel int64 row-id array (Spark-scale
+ids exceed the u32 insertion indexes, SURVEY.md §1.2).
+
+Query path: prune blob rows by their partition bbox (a Catalyst filter
+over the tiny index table — the analogue of root-level pruning), then
+probe the surviving trees vectorized. At 100 TB the index table has
+~1e5 rows of ~MB blobs: queries touch only overlapping partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from geo_index_spark.localindex.flatbush import DEFAULT_NODE_SIZE, Flatbush
+from geo_index_spark.operators.partitioning import hilbert_partition
+
+INDEX_SCHEMA = (
+    "num_items long, minx double, miny double, maxx double, maxy double,"
+    " tree binary, ids binary"
+)
+
+
+def build_partition_indexes(
+    df: DataFrame,
+    num_partitions: int,
+    cols: tuple[str, str, str, str] = ("minx", "miny", "maxx", "maxy"),
+    id_col: str = "row_id",
+    node_size: int = DEFAULT_NODE_SIZE,
+    bounds: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
+    """Hilbert-partition ``df`` and build one serialized flatbush per
+    partition. Returns the index table (one row per non-empty partition)."""
+    hp = hilbert_partition(df, num_partitions, bounds=bounds, cols=cols)
+    sel = [id_col, *cols] if len(cols) == 4 else [id_col, cols[0], cols[1]]
+    hp = hp.select(*sel)
+    point_mode = len(cols) == 2
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tbl = pa.Table.from_batches(list(batches)) if batches else None
+        if tbl is None or tbl.num_rows == 0:
+            return
+        ids = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        if point_mode:
+            x = tbl.column(1).to_numpy(zero_copy_only=False)
+            y = tbl.column(2).to_numpy(zero_copy_only=False)
+            boxes = np.stack([x, y, x, y], axis=1)
+        else:
+            boxes = np.stack(
+                [tbl.column(i).to_numpy(zero_copy_only=False) for i in (1, 2, 3, 4)],
+                axis=1,
+            )
+        fb = Flatbush(boxes, node_size=node_size)
+        b = fb.bounds
+        yield pa.RecordBatch.from_pydict(
+            {
+                "num_items": pa.array([len(ids)], pa.int64()),
+                "minx": pa.array([b[0]], pa.float64()),
+                "miny": pa.array([b[1]], pa.float64()),
+                "maxx": pa.array([b[2]], pa.float64()),
+                "maxy": pa.array([b[3]], pa.float64()),
+                "tree": pa.array([fb.to_bytes()], pa.binary()),
+                "ids": pa.array([ids.tobytes()], pa.binary()),
+            }
+        )
+
+    return hp.mapInArrow(build, INDEX_SCHEMA)
+
+
+def search_partition_indexes(
+    index_df: DataFrame,
+    min_x: float,
+    min_y: float,
+    max_x: float,
+    max_y: float,
+) -> DataFrame:
+    """Probe the index table with a bbox query: Catalyst partition-bbox
+    pruning first (the exchange-free root level), then vectorized local
+    tree searches. Returns row_id rows (set contract, Q1)."""
+    from geo_index_spark.operators.search import bbox_search
+
+    pruned = bbox_search(index_df, min_x, min_y, max_x, max_y)
+
+    def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            d = batch.to_pydict()
+            hits: list[np.ndarray] = []
+            for tree, ids in zip(d["tree"], d["ids"]):
+                fb = Flatbush.from_bytes(tree)
+                idx = fb.search(min_x, min_y, max_x, max_y)
+                if idx.size:
+                    hits.append(np.frombuffer(ids, dtype=np.int64)[idx])
+            out = np.concatenate(hits) if hits else np.empty(0, np.int64)
+            yield pa.RecordBatch.from_pydict({"row_id": pa.array(out, pa.int64())})
+
+    return pruned.mapInArrow(probe, "row_id long")
+
+
+def knn_partition_indexes(
+    index_df: DataFrame,
+    qx: float,
+    qy: float,
+    k: int,
+    metric: str = "euclidean",
+) -> DataFrame:
+    """Two-phase kNN over the index table: per-partition best-first
+    local top-k inside mapInArrow, then the global TakeOrdered merge —
+    exactly the reference heap search distributed (src/rtree/trait.rs:238-302).
+    Partition pruning: partitions whose bbox lower-bound distance cannot
+    beat a k-candidate upper bound are skipped executor-side (cheap:
+    local search stops early via max_results)."""
+    from pyspark.sql import functions as F
+
+    def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            d = batch.to_pydict()
+            all_ids: list[np.ndarray] = []
+            all_d: list[np.ndarray] = []
+            for tree, ids in zip(d["tree"], d["ids"]):
+                fb = Flatbush.from_bytes(tree)
+                lids, ldist = fb.neighbors(qx, qy, max_results=k, metric=metric)
+                if lids.size:
+                    all_ids.append(np.frombuffer(ids, dtype=np.int64)[lids])
+                    all_d.append(ldist)
+            ids_out = np.concatenate(all_ids) if all_ids else np.empty(0, np.int64)
+            d_out = np.concatenate(all_d) if all_d else np.empty(0, np.float64)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "row_id": pa.array(ids_out, pa.int64()),
+                    "dist": pa.array(d_out, pa.float64()),
+                }
+            )
+
+    local = index_df.mapInArrow(probe, "row_id long, dist double")
+    return local.orderBy(F.col("dist").asc(), F.col("row_id").asc()).limit(int(k))

@@ -1,0 +1,78 @@
+"""Distributed index-as-buffer: build/probe parity vs plain scans."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geo_index_spark.fixtures import data1_df, kdbush_df
+from geo_index_spark.localindex.flatbush import Flatbush, f64_box_to_f32
+from geo_index_spark.operators import bbox_search, knn
+from geo_index_spark.operators.knn import knn_boxes
+from geo_index_spark.operators.localbuild import (
+    build_partition_indexes,
+    knn_partition_indexes,
+    search_partition_indexes,
+)
+
+
+def test_index_table_shape(spark):
+    idx = build_partition_indexes(data1_df(spark), 4).collect()
+    assert 1 <= len(idx) <= 4
+    assert sum(r.num_items for r in idx) == 100
+    for r in idx:
+        fb = Flatbush.from_bytes(bytes(r.tree))
+        assert fb.num_items == r.num_items
+        ids = np.frombuffer(bytes(r.ids), dtype=np.int64)
+        assert len(ids) == r.num_items
+
+
+def test_indexed_search_parity(spark):
+    df = data1_df(spark)
+    idx = build_partition_indexes(df, 4)
+    got = {r.row_id for r in search_partition_indexes(idx, 40, 40, 60, 60).collect()}
+    want = {r.row_id for r in bbox_search(df, 40, 40, 60, 60).collect()}
+    assert got == want and len(got) == 4
+
+
+@pytest.mark.parametrize("p", [1, 3, 8])
+def test_indexed_search_partition_invariance(spark, p):
+    df = kdbush_df(spark)
+    idx = build_partition_indexes(df, p, cols=("x", "y"))
+    got = {r.row_id for r in search_partition_indexes(idx, 20, 30, 50, 70).collect()}
+    want = {r.row_id for r in bbox_search(df, 20, 30, 50, 70, cols=("x", "y", "x", "y")).collect()}
+    assert got == want
+
+
+def test_indexed_knn_matches_flat_knn(spark):
+    df = kdbush_df(spark)
+    idx = build_partition_indexes(df, 4, cols=("x", "y"))
+    got = [(r.row_id, round(r.dist, 9)) for r in knn_partition_indexes(idx, 50, 50, 10).collect()]
+    want = [
+        (r.row_id, round(r.dist, 9))
+        for r in knn(kdbush_df(spark), 50, 50, 10).collect()
+    ]
+    assert got == want
+
+
+def test_knn_boxes_doctest(spark):
+    # boxes (i,i,i+2,i+2); query (5,5) -> [2,1,0] (reference trait.rs:184-197)
+    df = spark.createDataFrame(
+        [(i, float(i), float(i), float(i + 2), float(i + 2)) for i in range(3)],
+        "row_id long, minx double, miny double, maxx double, maxy double",
+    )
+    got = [r.row_id for r in knn_boxes(df, 5.0, 5.0, 3).collect()]
+    assert got == [2, 1, 0]
+    # inside a box -> distance 0
+    got0 = knn_boxes(df, 1.0, 1.0, 1).first()
+    assert got0.dist == 0.0
+
+
+def test_f64_box_to_f32_contains():
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        b = np.sort(rng.uniform(-1e7, 1e7, 4))
+        mnx, mny, mxx, mxy = f64_box_to_f32(b[0], b[1], b[2], b[3])
+        assert float(mnx) <= b[0] and float(mny) <= b[1]
+        assert float(mxx) >= b[2] and float(mxy) >= b[3]

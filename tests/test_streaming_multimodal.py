@@ -1,0 +1,106 @@
+"""Streaming tile rollup (stream == batch on same input) + multimodal
+plumbing (schema/batch shape real, codec stubbed)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geo_index_spark.multimodal import (
+    decode_header,
+    encode_fake,
+    extract_media_meta,
+    fake_media_df,
+    frame_sample,
+    media_features,
+)
+from geo_index_spark.operators.tiling import quad_cell_col
+from geo_index_spark.streaming import stream_tile_rollup
+from geo_index_spark.webtext.generate import web_pages_pdf
+
+
+def test_stream_rollup_equals_batch(spark, tmp_path):
+    # materialize geotag points as parquet files -> file stream source
+    pdf = web_pages_pdf(400)
+    import re
+
+    pts = pdf[["url", "warc_ts"]].copy()
+    coords = pdf["html"].map(
+        lambda h: re.search(rb'content="(-?[\d.]+);(-?[\d.]+)"', h).groups()
+    )
+    pts["y"] = [float(a) for a, _ in coords]
+    pts["x"] = [float(b) for _, b in coords]
+    pts["warc_ts"] = pts["warc_ts"].astype("datetime64[us]")  # Spark can't read ns parquet
+    src = tmp_path / "src"
+    src.mkdir()
+    pts.iloc[:200].to_parquet(src / "a.parquet")
+    pts.iloc[200:].to_parquet(src / "b.parquet")
+
+    static = spark.read.parquet(str(src)).withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")  # NTZ parquet -> event-time type
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .parquet(str(src))
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    )
+    rolled = stream_tile_rollup(stream, ts_col="warc_ts", level=6, window="10 minutes")
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("tiles_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.cell_id, r.n)
+        for r in spark.sql("SELECT * FROM tiles_out").collect()
+    }
+    want = {
+        (r.ws, r.cell_id, r.n)
+        for r in static.groupBy(
+            F.window("warc_ts", "10 minutes").alias("w"),
+            quad_cell_col(F.col("x"), F.col("y"), 6).alias("cell_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "cell_id", "n")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_media_meta_roundtrip(spark):
+    media = fake_media_df(spark, 30)
+    meta = extract_media_meta(media).collect()
+    assert len(meta) == 30
+    for r in meta:
+        assert r.kind in ("IMG", "AUD", "VID")
+        assert r.width >= 16 and r.body_bytes >= 64
+
+
+def test_media_features_shape(spark):
+    media = fake_media_df(spark, 12)
+    feats = media_features(media).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-9
+
+
+def test_frame_sample_only_videos(spark):
+    media = fake_media_df(spark, 30)
+    frames = frame_sample(media, every_n=50).collect()
+    vids = {r.media_id for r in media.filter(F.col("kind") == "VID").collect()}
+    assert {r.media_id for r in frames} <= vids
+    assert all(r.frame_idx % 50 == 0 for r in frames)
+
+
+def test_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError, match="real codec"):
+        decode_header(b"\x89PNG\r\n\x1a\n....")
+    # FAKE container round-trips
+    p = encode_fake("IMG", 640, 480, 0, 1, b"xyz")
+    m = decode_header(p)
+    assert (m["width"], m["height"], m["body"]) == (640, 480, b"xyz")

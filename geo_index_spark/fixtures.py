@@ -94,3 +94,80 @@ def kdbush_df(spark):
     p = kdbush_points()
     rows = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(p)]
     return spark.createDataFrame(rows, "row_id long, x double, y double")
+
+
+def admin_polygons() -> list[tuple[int, np.ndarray]]:
+    """FIXTURES.md §5 analogue of the 85-polygon guerry set: a
+    deterministic irregular tiling of [0,100]^2 into 85 simple quads
+    (17x5 grid with seeded node perturbation, vertices rounded 1e-6).
+    CCW rings; simple (perturbation < half cell) though not necessarily
+    convex — the ray-cast refine handles any simple polygon."""
+    nx, ny = 17, 5
+    rng = np.random.default_rng(85)
+    gx = np.linspace(0, 100, nx + 1)
+    gy = np.linspace(0, 100, ny + 1)
+    nodes = np.zeros((nx + 1, ny + 1, 2))
+    for i in range(nx + 1):
+        for j in range(ny + 1):
+            px = gx[i] + (rng.uniform(-1.7, 1.7) if 0 < i < nx else 0.0)
+            py = gy[j] + (rng.uniform(-5.5, 5.5) if 0 < j < ny else 0.0)
+            nodes[i, j] = (round(px, 6), round(py, 6))
+    out = []
+    pid = 0
+    for i in range(nx):
+        for j in range(ny):
+            ring = np.array(
+                [nodes[i, j], nodes[i + 1, j], nodes[i + 1, j + 1], nodes[i, j + 1]]
+            )
+            out.append((pid, ring))
+            pid += 1
+    return out
+
+
+def admin_polygons_df(spark):
+    rows = []
+    for pid, ring in admin_polygons():
+        rows.append(
+            (
+                pid,
+                [[float(x), float(y)] for x, y in ring],
+                float(ring[:, 0].min()),
+                float(ring[:, 1].min()),
+                float(ring[:, 0].max()),
+                float(ring[:, 1].max()),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "poly_id long, vertices array<array<double>>, minx double, miny double,"
+        " maxx double, maxy double",
+    )
+
+
+def raster_grid() -> np.ndarray:
+    """FIXTURES.md §6: 64x64 grid over [0,100]^2; columns
+    (cell_id, row, col, minx, miny, maxx, maxy, value) with
+    value = sin(row) * cos(col)."""
+    n = 64
+    w = 100.0 / n
+    rows = np.repeat(np.arange(n), n)
+    cols = np.tile(np.arange(n), n)
+    cell_id = rows * n + cols
+    minx = cols * w
+    miny = rows * w
+    return np.column_stack(
+        [cell_id, rows, cols, minx, miny, minx + w, miny + w, np.sin(rows) * np.cos(cols)]
+    )
+
+
+def raster_grid_df(spark):
+    g = raster_grid()
+    rows = [
+        (int(r[0]), int(r[1]), int(r[2]), float(r[3]), float(r[4]), float(r[5]), float(r[6]), float(r[7]))
+        for r in g
+    ]
+    return spark.createDataFrame(
+        rows,
+        "cell_id long, row int, col int, minx double, miny double, maxx double,"
+        " maxy double, value double",
+    )

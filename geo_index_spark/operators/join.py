@@ -123,9 +123,16 @@ def spatial_join(
     bounds: tuple[float, float, float, float] | None = None,
     grid_level: int | None = None,
     broadcast_side: str | None = None,  # 'left' | 'right' | None (let Catalyst/AQE pick)
+    salt: int = 1,
 ) -> DataFrame:
     """All (left_id, right_id) pairs with inclusively-overlapping boxes.
-    ``grid_level=None`` auto-sizes the grid from one stats pass per side."""
+    ``grid_level=None`` auto-sizes the grid from one stats pass per side.
+
+    ``salt > 1`` splits every join key ``salt`` ways for mega-hot cells
+    (beyond what AQE skew-split handles): the left side gets a
+    deterministic salt ``xxhash64(id) % salt`` and the right side is
+    replicated ``salt`` times, so a cell's cross product spreads over
+    ``salt`` reducers at the cost of replicating the right rows."""
     if bounds is None or grid_level is None:
         ls = _side_stats(left, left_cols)
         rs = _side_stats(right, right_cols)
@@ -155,6 +162,15 @@ def spatial_join(
     le = le.withColumnRenamed("cx", "l_cx").withColumnRenamed("cy", "l_cy")
     re = re.drop("cx", "cy")
 
+    join_keys = ["cell"]
+    if salt > 1:
+        le = le.withColumn("_salt", F.pmod(F.xxhash64(F.col("l_id")), F.lit(salt)))
+        re = re.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))),
+        )
+        join_keys = ["cell", "_salt"]
+
     overlap = (
         (F.col("l_minx") <= F.col("r_maxx"))
         & (F.col("l_maxx") >= F.col("r_minx"))
@@ -167,7 +183,7 @@ def spatial_join(
     ref_cy = _cell_coord(F.greatest(F.col("l_miny"), F.col("r_miny")), loy, inv_wy, nc)
     dedup = (F.col("l_cx") == ref_cx) & (F.col("l_cy") == ref_cy)
 
-    joined = le.join(re, on="cell", how="inner").filter(overlap & dedup)
+    joined = le.join(re, on=join_keys, how="inner").filter(overlap & dedup)
     return joined.select("l_id", "r_id").withColumnsRenamed(
         {"l_id": "left_id", "r_id": "right_id"}
     )

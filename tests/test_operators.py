@@ -189,3 +189,12 @@ def test_partition_invariance(spark):
     for p in (1, 4, 13):
         got = {r.row_id for r in bbox_search(df.repartition(p), 40, 40, 60, 60).collect()}
         assert got == want
+
+
+def test_spatial_join_salted_parity(spark):
+    """salt>1 must not change the result set (skew path correctness)."""
+    boxes = data1_boxes()
+    df = data1_df(spark)
+    want = _duckdb_join_oracle(boxes)
+    got = {(r.left_id, r.right_id) for r in spatial_join(df, df, grid_level=4, salt=4).collect()}
+    assert got == want

@@ -240,6 +240,15 @@ def q_zonal_stats_rect(spark, sf_dir):
     )
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (window lag + running sum; one shuffle
+    on the user key)."""
+    from geo_index_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_seconds=600)
+
+
 def q_events_hourly_rollup(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -330,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_boxes_parts": q_knn_boxes_parts,
         "indexed_bbox_events": q_indexed_bbox_events,
         "zonal_stats_rect": q_zonal_stats_rect,
+        "sessionize_events": q_sessionize_events,
         "events_hourly_rollup": q_events_hourly_rollup,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -443,6 +453,9 @@ def oracle_sql() -> dict[str, str]:
               ON e.x >= zminx AND e.x <= zmaxx AND e.y >= zminy AND e.y <= zmaxy
             GROUP BY zone_id
         """,
+        "sessionize_events": __import__(
+            "geo_index_spark.operators.sessions", fromlist=["sessionize_sql"]
+        ).sessionize_sql(gap_seconds=600),
         "events_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value

@@ -1,0 +1,68 @@
+"""Sessionization — gap-based event sessions.
+
+Batch version is pure window functions (lag -> new-session flag ->
+running sum), fully Catalyst + whole-stage codegen, partitioned by user
+(one shuffle on the user key). The streaming stateful variant lives in
+streaming/sessions.py (applyInPandasWithState).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """(user, session_id, n_events, session_start, session_end) with a
+    new session whenever the gap to the previous event exceeds
+    ``gap_seconds``. session_id is the per-user ordinal (0-based)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # double-cast: TIMESTAMP_NTZ (pandas-written parquet) can't cast to
+    # BIGINT directly; TIMESTAMP can
+    ts = F.col(ts_col).cast("timestamp").cast("long")
+    prev = F.lag(ts).over(w)
+    new_sess = F.when(prev.isNull() | ((ts - prev) > F.lit(int(gap_seconds))), 1).otherwise(0)
+    sessions = events.withColumn("_new", new_sess).withColumn(
+        "session_id", F.sum("_new").over(w) - F.lit(1)
+    )
+    return (
+        sessions.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+    )
+
+
+def sessionize_sql(
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    table: str = "events",
+) -> str:
+    """DuckDB mirror of :func:`sessionize` (same window algebra)."""
+    return f"""
+    WITH flagged AS (
+      SELECT {user_col}, {ts_col},
+        CASE WHEN lag(epoch({ts_col})) OVER w IS NULL
+               OR epoch({ts_col}) - lag(epoch({ts_col})) OVER w > {int(gap_seconds)}
+             THEN 1 ELSE 0 END AS new_sess
+      FROM {table}
+      WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col})
+    ),
+    numbered AS (
+      SELECT {user_col}, {ts_col},
+             sum(new_sess) OVER (PARTITION BY {user_col} ORDER BY {ts_col}
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM flagged
+    )
+    SELECT {user_col}, session_id, count(*) AS n_events,
+           min({ts_col}) AS session_start, max({ts_col}) AS session_end
+    FROM numbered GROUP BY {user_col}, session_id
+    """

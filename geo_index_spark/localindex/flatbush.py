@@ -84,6 +84,24 @@ def _partial_hilbert_sort(values: np.ndarray, order: np.ndarray, node_size: int)
         sort(0, len(values) - 1)
 
 
+def _str_order(boxes: np.ndarray, node_size: int) -> np.ndarray:
+    """B3 STR (sort-tile-recursive) leaf order (reference
+    src/rtree/sort/str.rs:16-100): sort by x-center, cut into
+    ceil(sqrt(num_leaf_nodes)) vertical slices, sort each slice by
+    y-center. Vectorized with one argsort per axis."""
+    n = boxes.shape[0]
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2.0
+    num_leaf_nodes = int(np.ceil(n / node_size))
+    num_slices = int(np.ceil(np.sqrt(num_leaf_nodes)))
+    per_slice = int(np.ceil(n / num_slices))
+    by_x = np.argsort(cx, kind="stable")
+    slice_id = np.arange(n) // per_slice
+    # within each x-slice, order by y-center: lexsort on (y, slice)
+    order = by_x[np.lexsort((cy[by_x], slice_id))]
+    return order
+
+
 class Flatbush:
     """A packed, immutable R-tree over ``boxes`` (n, 4) float array."""
 
@@ -93,6 +111,7 @@ class Flatbush:
         node_size: int = DEFAULT_NODE_SIZE,
         exact_flatbush_order: bool = False,
         dtype=np.float64,
+        sort_method: str = "hilbert",  # 'hilbert' | 'str' (B3)
     ):
         boxes = np.ascontiguousarray(boxes, dtype=dtype).reshape(-1, 4)
         self.num_items = n = boxes.shape[0]
@@ -128,13 +147,18 @@ class Flatbush:
             self.nodes, self.indices = nodes, indices
             return
 
-        hv = hilbert_of_boxes(boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3], bounds)
-        if exact_flatbush_order:
-            order = np.arange(n, dtype=np.int64)
-            hv = hv.copy()
-            _partial_hilbert_sort(hv, order, node_size)
+        if sort_method == "str":
+            order = _str_order(boxes, node_size)
         else:
-            order = np.argsort(hv, kind="stable")
+            hv = hilbert_of_boxes(
+                boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3], bounds
+            )
+            if exact_flatbush_order:
+                order = np.arange(n, dtype=np.int64)
+                hv = hv.copy()
+                _partial_hilbert_sort(hv, order, node_size)
+            else:
+                order = np.argsort(hv, kind="stable")
         nodes[:n] = boxes[order]
         indices[:n] = order
 

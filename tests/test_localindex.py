@@ -149,3 +149,22 @@ def test_haversine_zero_and_known():
     # quarter circumference along equator
     q = haversine(0, 0, 90, 0)
     assert abs(q - np.pi / 2 * 6378137.0) < 1.0
+
+
+@pytest.mark.parametrize("n", [0, 1, 4, 8, 16, 20, 40, 80, 300])
+def test_str_sort_every_item_finds_itself(n):
+    # B3 sweep, same property as hilbert (reference src/rtree/builder.rs:270-301)
+    rng = np.random.default_rng(n + 1000)
+    boxes = rng.uniform(0, 100, size=(n, 2))
+    boxes = np.hstack([boxes, boxes + rng.uniform(0, 5, size=(n, 2))])
+    fb = Flatbush(boxes, node_size=4, sort_method="str")
+    for i in range(n):
+        assert i in set(fb.search(*boxes[i]))
+
+
+def test_str_and_hilbert_same_search_results():
+    boxes = data1_boxes()
+    a = Flatbush(boxes, node_size=16, sort_method="str")
+    b = Flatbush(boxes, node_size=16)
+    for q in [(40, 40, 60, 60), (0, 0, 100, 100), (10, 80, 30, 96)]:
+        assert set(a.search(*q)) == set(b.search(*q))

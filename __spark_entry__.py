@@ -269,6 +269,41 @@ def q_lineitem_pricing_summary(spark, sf_dir):
     )
 
 
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3-style: unshipped-order revenue by order, top 20 —
+    broadcast dims, map-side partial agg, TakeOrdered merge."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    rev = F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(20)
+    )
+
+
+def q_nation_volume(spark, sf_dir):
+    """TPC-H Q5-flavored: revenue by supplier nation — multi-join with
+    broadcast dims + single wide agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    rev = F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return j.groupBy("n_name").agg(
+        F.round(rev, 2).alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -342,6 +377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "events_hourly_rollup": q_events_hourly_rollup,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_volume": q_nation_volume,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "token_count_docs": q_token_count_docs,
@@ -468,6 +505,23 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_discount), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            SELECT l.l_orderkey, o.o_orderdate,
+                   round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 20
+        """,
+        "nation_volume": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "exact_dedup_docs": D.exact_dedup_sql(),
         "fingerprint_docs": Q.doc_fingerprint_sql(),

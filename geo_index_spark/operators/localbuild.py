@@ -33,6 +33,23 @@ INDEX_SCHEMA = (
 )
 
 
+def _lb_col(qx: float, qy: float, metric: str):
+    """Lower-bound distance from the query point to a partition bbox as
+    a Catalyst expression (clamp + metric; reference
+    src/rtree/distance.rs:100-113)."""
+    from pyspark.sql import functions as F
+
+    from geo_index_spark.operators.knn import haversine_dist_col
+
+    cx = F.greatest(F.col("minx"), F.least(F.col("maxx"), F.lit(float(qx))))
+    cy = F.greatest(F.col("miny"), F.least(F.col("maxy"), F.lit(float(qy))))
+    if metric == "euclidean":
+        dx = cx - F.lit(float(qx))
+        dy = cy - F.lit(float(qy))
+        return F.sqrt(dx * dx + dy * dy)
+    return haversine_dist_col(cx, cy, qx, qy)
+
+
 def build_partition_indexes(
     df: DataFrame,
     num_partitions: int,
@@ -114,14 +131,48 @@ def knn_partition_indexes(
     qy: float,
     k: int,
     metric: str = "euclidean",
+    prune: bool = True,
 ) -> DataFrame:
-    """Two-phase kNN over the index table: per-partition best-first
-    local top-k inside mapInArrow, then the global TakeOrdered merge —
-    exactly the reference heap search distributed (src/rtree/trait.rs:238-302).
-    Partition pruning: partitions whose bbox lower-bound distance cannot
-    beat a k-candidate upper bound are skipped executor-side (cheap:
-    local search stops early via max_results)."""
+    """Two-phase kNN over the index table: prune partitions whose bbox
+    cannot contain a top-k answer, then per-partition best-first local
+    top-k inside mapInArrow, then the global TakeOrdered merge — the
+    reference heap search distributed (src/rtree/trait.rs:238-302).
+
+    Pruning (exact): sort partitions by lower-bound distance to their
+    bbox; take partitions until the cumulative item count reaches k;
+    the worst case for those is their max upper-bound distance
+    (farthest bbox corner); any partition with lower bound beyond that
+    cannot contribute. The index table is tiny (one row per partition),
+    so this is a driver-side collect of partition boxes only."""
     from pyspark.sql import functions as F
+
+    if prune:
+        rows = index_df.select(
+            "num_items", "minx", "miny", "maxx", "maxy"
+        ).collect()
+        if rows:
+            from geo_index_spark.localindex.flatbush import _metric_block, haversine
+
+            b = np.array([[r.minx, r.miny, r.maxx, r.maxy] for r in rows])
+            cnt = np.array([r.num_items for r in rows])
+            lb = _metric_block(qx, qy, b, metric)
+            # upper bound per partition = distance to farthest corner
+            cxs = np.where(np.abs(b[:, 0] - qx) > np.abs(b[:, 2] - qx), b[:, 0], b[:, 2])
+            cys = np.where(np.abs(b[:, 1] - qy) > np.abs(b[:, 3] - qy), b[:, 1], b[:, 3])
+            if metric == "euclidean":
+                ub = np.hypot(cxs - qx, cys - qy)
+            else:
+                ub = haversine(qx, qy, cxs, cys)
+            order = np.argsort(lb, kind="stable")
+            cum = np.cumsum(cnt[order])
+            need = int(np.searchsorted(cum, k) + 1)
+            need = min(need, len(order))
+            radius = float(ub[order[:need]].max())
+            index_df = index_df.filter(
+                # re-derive the lower bound as a Catalyst predicate:
+                # clamp(q) to box then distance <= radius
+                _lb_col(qx, qy, metric) <= F.lit(radius)
+            )
 
     def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:

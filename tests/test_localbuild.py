@@ -76,3 +76,13 @@ def test_f64_box_to_f32_contains():
         mnx, mny, mxx, mxy = f64_box_to_f32(b[0], b[1], b[2], b[3])
         assert float(mnx) <= b[0] and float(mny) <= b[1]
         assert float(mxx) >= b[2] and float(mxy) >= b[3]
+
+
+def test_indexed_knn_pruned_matches_unpruned(spark):
+    df = kdbush_df(spark)
+    idx = build_partition_indexes(df, 6, cols=("x", "y")).cache()
+    for q, k in [((50, 50), 10), ((0, 0), 3), ((120, -5), 7)]:
+        pruned = [(r.row_id, round(r.dist, 9)) for r in knn_partition_indexes(idx, *q, k).collect()]
+        full = [(r.row_id, round(r.dist, 9)) for r in knn_partition_indexes(idx, *q, k, prune=False).collect()]
+        assert pruned == full, f"q={q} k={k}"
+    idx.unpersist()

@@ -22,11 +22,12 @@ def sessionize(
     new session whenever the gap to the previous event exceeds
     ``gap_seconds``. session_id is the per-user ordinal (0-based)."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    # double-cast: TIMESTAMP_NTZ (pandas-written parquet) can't cast to
-    # BIGINT directly; TIMESTAMP can
-    ts = F.col(ts_col).cast("timestamp").cast("long")
+    # exact integer microseconds — a seconds-truncating cast would
+    # disagree with the oracle on sub-second timestamps
+    ts = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_us = int(gap_seconds) * 1_000_000
     prev = F.lag(ts).over(w)
-    new_sess = F.when(prev.isNull() | ((ts - prev) > F.lit(int(gap_seconds))), 1).otherwise(0)
+    new_sess = F.when(prev.isNull() | ((ts - prev) > F.lit(gap_us)), 1).otherwise(0)
     sessions = events.withColumn("_new", new_sess).withColumn(
         "session_id", F.sum("_new").over(w) - F.lit(1)
     )
@@ -50,8 +51,8 @@ def sessionize_sql(
     return f"""
     WITH flagged AS (
       SELECT {user_col}, {ts_col},
-        CASE WHEN lag(epoch({ts_col})) OVER w IS NULL
-               OR epoch({ts_col}) - lag(epoch({ts_col})) OVER w > {int(gap_seconds)}
+        CASE WHEN lag(epoch_us({ts_col})) OVER w IS NULL
+               OR epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w > {int(gap_seconds) * 1_000_000}
              THEN 1 ELSE 0 END AS new_sess
       FROM {table}
       WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col})

@@ -16,7 +16,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __spark_entry__ as E
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("ENTRY_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

@@ -314,6 +314,67 @@ def simhash_sql(id_col: str = "doc_id", text_col: str = "text", table: str = "do
     """
 
 
+def collapse_near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into clusters and keep one representative
+    per cluster (min id) — the step a training-data pipeline runs after
+    any near-dup detector.
+
+    Connected components via min-label propagation + pointer jumping
+    (label := label-of-label each round), expressed as DataFrame joins
+    (no GraphFrames dependency). Pointer jumping halves component depth
+    per round, so convergence is O(log diameter) shuffles; lineage is
+    truncated every round with ``localCheckpoint`` (iterative joins
+    otherwise stack an exponentially deep plan — same hazard class as
+    PLANS.md #1).
+
+    Returns (doc_id, cluster_id, is_representative).
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .unionAll(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = docs.select(
+        F.col(id_col).alias("u"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnsRenamed({"u": "v", "label": "nl"}), "v")
+            .groupBy("u")
+            .agg(F.min("nl").alias("nmin"))
+        )
+        l1 = labels.join(neighbor_min, "u", "left").select(
+            "u",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("l1"),
+        )
+        # pointer jumping: adopt the label of your label
+        jump = l1.join(
+            l1.select(F.col("u").alias("l1"), F.col("l1").alias("l2")), "l1", "left"
+        ).select(
+            "u", F.least(F.col("l1"), F.coalesce(F.col("l2"), F.col("l1"))).alias("new_label")
+        )
+        new_labels = jump.localCheckpoint()
+        changed = (
+            new_labels.join(labels, "u")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels.withColumnRenamed("new_label", "label")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("u") == F.col("label")).alias("is_representative"),
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -112,3 +112,27 @@ def test_lsh_cosine_topk_recall(spark, emb):
     approx = [r.id for r in A.lsh_cosine_topk(df, q, 3, dim=16, n_planes=8, probe_hamming=3).collect()]
     # top-1 must survive LSH (query bucket contains its own vector)
     assert approx and approx[0] == exact[0]
+
+
+def test_collapse_near_dup_clusters(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # components: {0,1,2} (chain), {3,4}, singletons 5,6,7
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "a_id long, b_id long"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.is_representative)
+        for r in D.collapse_near_dup_clusters(docs, pairs).collect()
+    }
+    assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
+    assert out[3] == (3, True) and out[4] == (3, False)
+    assert all(out[i] == (i, True) for i in (5, 6, 7))
+
+
+def test_collapse_long_chain_converges(spark):
+    n = 30
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a_id long, b_id long")
+    out = D.collapse_near_dup_clusters(docs, pairs, max_iters=40).collect()
+    assert all(r.cluster_id == 0 for r in out)
+    assert sum(r.is_representative for r in out) == 1

@@ -221,6 +221,18 @@ def q_indexed_bbox_events(spark, sf_dir):
     )
 
 
+def q_distance_join_events(spark, sf_dir):
+    """Distance join (all pairs within r): grid candidate join on +-r
+    boxes + codegen'd exact-distance residual — candidates->refine
+    two-phase plan (SURVEY.md §4 rule 4)."""
+    from geo_index_spark.operators.join import distance_join
+
+    pts = _events_pts(spark, sf_dir).select(
+        F.col("event_id").alias("row_id"), "x", "y"
+    )
+    return distance_join(pts, pts, 1.5)
+
+
 def q_zonal_stats_rect(spark, sf_dir):
     """North rule: zonal stats of points over rectangular zones (bbox
     containment is exact for rects — the raster/vector zonal shape)."""
@@ -373,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_events_parts": q_spatial_join_events_parts,
         "knn_boxes_parts": q_knn_boxes_parts,
         "indexed_bbox_events": q_indexed_bbox_events,
+        "distance_join_events": q_distance_join_events,
         "zonal_stats_rect": q_zonal_stats_rect,
         "sessionize_events": q_sessionize_events,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -484,6 +497,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY dist ASC, row_id ASC LIMIT 50
         """,
         "indexed_bbox_events": f"SELECT event_id FROM {_EV_PTS} WHERE x >= 100 AND x <= 200 AND y >= 20 AND y <= 80",
+        "distance_join_events": f"""
+            SELECT a.event_id AS left_id, b.event_id AS right_id
+            FROM {_EV_PTS} a, {_EV_PTS} b
+            WHERE (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 2.25
+        """,
         "zonal_stats_rect": f"""
             SELECT zone_id, count(*) AS n, round(sum(x), 4) AS sum_x
             FROM {_EV_PTS} e JOIN {ZONES_SQL}

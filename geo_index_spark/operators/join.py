@@ -53,6 +53,7 @@ def _with_cells(
     nc: int,
     cols: tuple[str, str, str, str],
     prefix: str,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     lox, loy, hix, hiy = bounds
     inv_wx = nc / (hix - lox) if hix > lox else 0.0
@@ -64,6 +65,7 @@ def _with_cells(
         mny.alias(f"{prefix}_miny"),
         mxx.alias(f"{prefix}_maxx"),
         mxy.alias(f"{prefix}_maxy"),
+        *[F.col(k).alias(f"{prefix}_{k}") for k in keep],
         _cell_coord(mnx, lox, inv_wx, nc).alias("cx0"),
         _cell_coord(mxx, lox, inv_wx, nc).alias("cx1"),
         _cell_coord(mny, loy, inv_wy, nc).alias("cy0"),
@@ -124,6 +126,8 @@ def spatial_join(
     grid_level: int | None = None,
     broadcast_side: str | None = None,  # 'left' | 'right' | None (let Catalyst/AQE pick)
     salt: int = 1,
+    keep_left: tuple[str, ...] = (),
+    keep_right: tuple[str, ...] = (),
 ) -> DataFrame:
     """All (left_id, right_id) pairs with inclusively-overlapping boxes.
     ``grid_level=None`` auto-sizes the grid from one stats pass per side.
@@ -152,8 +156,8 @@ def spatial_join(
     inv_wx = nc / (hix - lox) if hix > lox else 0.0
     inv_wy = nc / (hiy - loy) if hiy > loy else 0.0
 
-    le = _with_cells(left, left_id, bounds, nc, left_cols, "l")
-    re = _with_cells(right, right_id, bounds, nc, right_cols, "r")
+    le = _with_cells(left, left_id, bounds, nc, left_cols, "l", keep_left)
+    re = _with_cells(right, right_id, bounds, nc, right_cols, "r", keep_right)
     if broadcast_side == "left":
         le = F.broadcast(le)
     elif broadcast_side == "right":
@@ -184,6 +188,66 @@ def spatial_join(
     dedup = (F.col("l_cx") == ref_cx) & (F.col("l_cy") == ref_cy)
 
     joined = le.join(re, on=join_keys, how="inner").filter(overlap & dedup)
-    return joined.select("l_id", "r_id").withColumnsRenamed(
+    out_cols = (
+        ["l_id", "r_id"]
+        + [f"l_{k}" for k in keep_left]
+        + [f"r_{k}" for k in keep_right]
+    )
+    return joined.select(*out_cols).withColumnsRenamed(
         {"l_id": "left_id", "r_id": "right_id"}
     )
+
+
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    left_id: str = "row_id",
+    right_id: str = "row_id",
+    left_cols: tuple[str, str] = ("x", "y"),
+    right_cols: tuple[str, str] = ("x", "y"),
+    bounds: tuple[float, float, float, float] | None = None,
+    grid_level: int | None = None,
+    metric: str = "euclidean",
+) -> DataFrame:
+    """All point pairs within ``radius`` (inclusive, <=) — the two-phase
+    candidate->refine composition: grid candidate join on +-radius
+    boxes, then the exact distance predicate as a codegen'd residual
+    (euclidean) — the distributed form of the reference's
+    within-on-every-point (src/kdtree/trait.rs:118-174)."""
+    if metric != "euclidean":
+        raise ValueError("distance_join currently supports euclidean only")
+    r = float(radius)
+    lx, ly = left_cols
+    rx, ry = right_cols
+    lb = left.select(
+        F.col(left_id).alias("row_id"),
+        (F.col(lx) - F.lit(r)).alias("minx"),
+        (F.col(ly) - F.lit(r)).alias("miny"),
+        (F.col(lx) + F.lit(r)).alias("maxx"),
+        (F.col(ly) + F.lit(r)).alias("maxy"),
+        F.col(lx).alias("px"),
+        F.col(ly).alias("py"),
+    )
+    rb = right.select(
+        F.col(right_id).alias("row_id"),
+        F.col(rx).alias("minx"),
+        F.col(ry).alias("miny"),
+        F.col(rx).alias("maxx"),
+        F.col(ry).alias("maxy"),
+        F.col(rx).alias("px"),
+        F.col(ry).alias("py"),
+    )
+    # point coords ride through the candidate join (keep_*), so the
+    # exact-distance refine is a residual filter — no re-join shuffle
+    cand = spatial_join(
+        lb,
+        rb,
+        bounds=bounds,
+        grid_level=grid_level,
+        keep_left=("px", "py"),
+        keep_right=("px", "py"),
+    )
+    dx = F.col("l_px") - F.col("r_px")
+    dy = F.col("l_py") - F.col("r_py")
+    return cand.filter(dx * dx + dy * dy <= F.lit(r * r)).select("left_id", "right_id")

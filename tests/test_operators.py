@@ -198,3 +198,35 @@ def test_spatial_join_salted_parity(spark):
     want = _duckdb_join_oracle(boxes)
     got = {(r.left_id, r.right_id) for r in spatial_join(df, df, grid_level=4, salt=4).collect()}
     assert got == want
+
+
+def test_distance_join_oracle(spark):
+    """Two-phase candidate->refine distance join vs DuckDB oracle."""
+    from geo_index_spark.operators.join import distance_join
+
+    df = kdbush_df(spark)
+    got = {(r.left_id, r.right_id) for r in distance_join(df, df, 12.0).collect()}
+    con = duckdb.connect()
+    con.register("p", df.toPandas())
+    want = set(
+        con.sql(
+            """SELECT a.row_id, b.row_id FROM p a, p b
+               WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 144.0"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_validate_null_nan_policy(spark):
+    from geo_index_spark.operators.validate import drop_invalid, reject_invalid
+
+    df = spark.createDataFrame(
+        [(0, 1.0, 2.0), (1, None, 3.0), (2, float("nan"), 4.0), (3, 5.0, 6.0)],
+        "row_id long, x double, y double",
+    )
+    kept = {r.row_id for r in drop_invalid(df, ("x", "y")).collect()}
+    assert kept == {0, 3}
+    with pytest.raises(ValueError, match="null/NaN"):
+        reject_invalid(df, ("x", "y"))
+    clean = drop_invalid(df, ("x", "y"))
+    assert reject_invalid(clean, ("x", "y")) is clean

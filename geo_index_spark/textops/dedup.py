@@ -314,6 +314,84 @@ def simhash_sql(id_col: str = "doc_id", text_col: str = "text", table: str = "do
     """
 
 
+def minhash_near_dup_pairs_fast(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    num_hashes: int = 16,
+    band_rows: int = 4,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """Production fast path of :func:`minhash_near_dup_pairs`: shingle
+    hashes via ``xxhash64`` (one JVM hash per shingle instead of an md5
+    hex round-trip — ~5x cheaper) with the same banding/refinement.
+    Same *semantics* (LSH candidates refined by exact integer-threshold
+    Jaccard) but a different hash family, so candidate sets differ from
+    the oracle-grade variant; refined TRUE near-dups agree at high
+    similarity (pytest-pinned). No SQL oracle by construction."""
+    if num_hashes % band_rows:
+        raise ValueError("num_hashes must be a multiple of band_rows")
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        shingles(docs.repartition(par), id_col, text_col, n)
+        .withColumn("h", F.pmod(F.xxhash64("s"), F.lit(P)))
+        .cache()
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(seeds(num_hashes))
+    ] + [F.count(F.lit(1)).alias("sz")]
+    sig = sh.groupBy("id").agg(*aggs)
+    n_bands = num_hashes // band_rows
+    parts = [
+        sig.select(
+            "id",
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+            ).alias("v"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = parts[0]
+    for p in parts[1:]:
+        bands = bands.unionAll(p)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band", "v"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    sets = sh.groupBy("id").agg(
+        F.sort_array(F.collect_set("h")).alias("hs"), F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        cand.repartition(par, "a", "b")
+        .join(
+            F.broadcast(
+                sets.select(F.col("id").alias("a"), F.col("hs").alias("ha"), F.col("sz").alias("sza"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                sets.select(F.col("id").alias("b"), F.col("hs").alias("hb"), F.col("sz").alias("szb"))
+            ),
+            "b",
+        )
+        .withColumn("inter", F.size(F.array_intersect(F.col("ha"), F.col("hb"))))
+        .filter(
+            F.col("inter") * F.lit(tau_den + tau_num)
+            >= F.lit(tau_num) * (F.col("sza") + F.col("szb"))
+        )
+        .select(F.col("a").alias("a_id"), F.col("b").alias("b_id"))
+    )
+
+
 def collapse_near_dup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

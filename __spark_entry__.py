@@ -261,6 +261,73 @@ def q_sessionize_events(spark, sf_dir):
     return sessionize(ev, gap_seconds=600)
 
 
+def q_tile_pyramid_events(spark, sf_dir):
+    """Multi-level tile pyramid: one fact scan, parents rolled up from
+    child aggregates (operators/pyramid.py)."""
+    from geo_index_spark.operators.pyramid import tile_pyramid
+
+    pts = _events_pts(spark, sf_dir)
+    return tile_pyramid(pts, min_level=3, max_level=6, bounds=TILE_BOUNDS)
+
+
+# --- rows-only queries (genuinely non-SQL-expressible; the driver
+# records the weaker rows-only check for these) -----------------------------
+
+PIP_POLYGONS = [
+    (0, [[50.0, 10.0], [150.0, 25.0], [180.0, 80.0], [90.0, 120.0], [20.0, 70.0]]),
+    (1, [[200.0, 20.0], [350.0, 15.0], [400.0, 90.0], [260.0, 130.0]]),
+    (2, [[340.0, 60.0], [480.0, 50.0], [470.0, 140.0], [360.0, 145.0]]),
+]
+
+
+def q_pip_events(spark, sf_dir):
+    """Exact point-in-polygon refinement over candidate pairs
+    (vectorized ray-cast; north-rule surface). Non-convex polygons ->
+    no SQL oracle; numpy-oracle-tested in tests/test_pip_fixtures.py."""
+    from geo_index_spark.operators.pip import point_in_polygon
+
+    pts = _events_pts(spark, sf_dir).withColumnRenamed("event_id", "row_id")
+    rows = []
+    for pid, ring in PIP_POLYGONS:
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        rows.append((pid, ring, min(xs), min(ys), max(xs), max(ys)))
+    polys = spark.createDataFrame(
+        rows,
+        "poly_id long, vertices array<array<double>>, minx double, miny double,"
+        " maxx double, maxy double",
+    )
+    return point_in_polygon(pts, polys, grid_level=4).withColumnsRenamed(
+        {"row_id": "event_id"}
+    )
+
+
+def q_cluster_collapse_docs(spark, sf_dir):
+    """Near-dup pairs -> connected components -> representatives
+    (iterative label propagation; non-SQL)."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_near_dup_pairs(
+        docs, n=4, num_hashes=16, tau_num=JACCARD[0], tau_den=JACCARD[1]
+    )
+    return D.collapse_near_dup_clusters(docs, pairs)
+
+
+def q_lsh_ann_emb(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH buckets (multi-probe);
+    approximate by design -> rows-only check, recall pytest-pinned."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.lsh_cosine_topk(emb, ANN_QUERY, ANN_K, dim=64, n_planes=12, probe_hamming=3)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads -> typed meta + histogram
+    features over mapInPandas (codec layer stubbed per sandbox)."""
+    from geo_index_spark.multimodal import fake_media_df, media_features
+
+    media = fake_media_df(spark, 60)
+    return media_features(media)
+
+
 def q_events_hourly_rollup(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -381,6 +448,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_boxes_events": q_partition_boxes_events,
         "tile_events": q_tile_events,
         "tile_rollup_events": q_tile_rollup_events,
+        "tile_pyramid_events": q_tile_pyramid_events,
+        "pip_events": q_pip_events,
+        "cluster_collapse_docs": q_cluster_collapse_docs,
+        "lsh_ann_emb": q_lsh_ann_emb,
+        "media_features": q_media_features,
         "spatial_join_parts": q_spatial_join_parts,
         "spatial_join_events_parts": q_spatial_join_events_parts,
         "knn_boxes_parts": q_knn_boxes_parts,
@@ -473,6 +545,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT {rollup_tile} AS cell_id, count(*) AS n, round(sum(x), 4) AS sum_x
             FROM {_EV_PTS} GROUP BY 1
         """,
+        "tile_pyramid_events": " UNION ALL ".join(
+            f"SELECT {lvl} AS level, {quad_cell_sql('x', 'y', lvl, TILE_BOUNDS)} AS cell_id, count(*) AS n FROM {_EV_PTS} GROUP BY 2"
+            for lvl in range(3, 7)
+        ),
         "spatial_join_parts": f"""
             WITH b AS ({PART_BOXES_SQL})
             SELECT a.row_id AS left_id, c.row_id AS right_id

@@ -230,3 +230,19 @@ def test_validate_null_nan_policy(spark):
         reject_invalid(df, ("x", "y"))
     clean = drop_invalid(df, ("x", "y"))
     assert reject_invalid(clean, ("x", "y")) is clean
+
+
+def test_knn_sequence_500_tie_free(spark):
+    """FIXTURES.md §4: 500 seeded points, exact (dist, row_id) sequence
+    vs numpy oracle."""
+    rng = np.random.default_rng(4242)
+    pts = rng.uniform(0, 1000, size=(500, 2))
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "row_id long, x double, y double",
+    )
+    q = (333.33, 666.66)
+    got = [r.row_id for r in knn(df, *q, 50).collect()]
+    d = np.hypot(pts[:, 0] - q[0], pts[:, 1] - q[1])
+    want = sorted(range(500), key=lambda i: (d[i], i))[:50]
+    assert got == want

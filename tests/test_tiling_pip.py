@@ -120,3 +120,31 @@ def test_zonal_stats(spark):
     assert row.n_cells == 16
     assert row.sum_value == sum(r + c for r in range(4) for c in range(4))
     assert row.min_value == 0.0 and row.max_value == 6.0
+
+
+def test_tile_assignment_frozen_golden(spark):
+    """FIXTURES.md §7: tile assignments pinned to the frozen golden
+    table — guards the spec against accidental kernel changes, both in
+    numpy and in the Catalyst twin."""
+    import json
+    import pathlib
+
+    rows = json.load(open(pathlib.Path(__file__).parent / "data" / "tiles_expected.json"))
+    xs = np.array([r[0] for r in rows])
+    ys = np.array([r[1] for r in rows])
+    lvls = np.array([r[2] for r in rows])
+    want = np.array([r[3] for r in rows], dtype=np.uint64)
+    for lvl in (4, 8, 12):
+        m = lvls == lvl
+        assert np.array_equal(quad_cell_np(xs[m], ys[m], lvl), want[m])
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(l), int(c)) for a, b, l, c in rows],
+        "x double, y double, level int, want long",
+    )
+    for lvl in (4, 8, 12):
+        bad = (
+            df.filter(F.col("level") == lvl)
+            .filter(quad_cell_col(F.col("x"), F.col("y"), lvl) != F.col("want"))
+            .count()
+        )
+        assert bad == 0

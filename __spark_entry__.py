@@ -258,7 +258,7 @@ def q_sessionize_events(spark, sf_dir):
     from geo_index_spark.operators.sessions import sessionize
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return sessionize(ev, gap_seconds=600)
+    return sessionize(ev, gap_seconds=600, tiebreak_col="event_id")
 
 
 def q_tile_pyramid_events(spark, sf_dir):
@@ -270,8 +270,10 @@ def q_tile_pyramid_events(spark, sf_dir):
     return tile_pyramid(pts, min_level=3, max_level=6, bounds=TILE_BOUNDS)
 
 
-# --- rows-only queries (genuinely non-SQL-expressible; the driver
-# records the weaker rows-only check for these) -----------------------------
+# --- deterministic non-trivial queries: pip / cluster-collapse / lsh-ann
+# all have exact DuckDB oracles (ray-cast unnest, recursive-CTE CC, literal
+# hyperplane replay); only media_features stays rows-only (codec stub +
+# Spark-side synthesized input the oracle can't see) -------------------------
 
 PIP_POLYGONS = [
     (0, [[50.0, 10.0], [150.0, 25.0], [180.0, 80.0], [90.0, 120.0], [20.0, 70.0]]),
@@ -282,8 +284,8 @@ PIP_POLYGONS = [
 
 def q_pip_events(spark, sf_dir):
     """Exact point-in-polygon refinement over candidate pairs
-    (vectorized ray-cast; north-rule surface). Non-convex polygons ->
-    no SQL oracle; numpy-oracle-tested in tests/test_pip_fixtures.py."""
+    (vectorized ray-cast; north-rule surface). Oracle: the identical
+    even-odd ray cast as a per-(point, edge) unnest in DuckDB."""
     from geo_index_spark.operators.pip import point_in_polygon
 
     pts = _events_pts(spark, sf_dir).withColumnRenamed("event_id", "row_id")
@@ -321,11 +323,17 @@ def q_lsh_ann_emb(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> typed meta + histogram
-    features over mapInPandas (codec layer stubbed per sandbox)."""
+    features over mapInPandas (codec layer stubbed per sandbox).
+    Exploded to scalar (media_id, bin_idx, value_r) rows — the driver's
+    rows-only canonicalizer sorts all columns and array cells are
+    unhashable in pandas."""
     from geo_index_spark.multimodal import fake_media_df, media_features
 
     media = fake_media_df(spark, 60)
-    return media_features(media)
+    feats = media_features(media)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("bin_idx", "value")
+    ).select("media_id", "bin_idx", F.round("value", 6).alias("value_r"))
 
 
 def q_events_hourly_rollup(spark, sf_dir):
@@ -586,7 +594,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize_events": __import__(
             "geo_index_spark.operators.sessions", fromlist=["sessionize_sql"]
-        ).sessionize_sql(gap_seconds=600),
+        ).sessionize_sql(gap_seconds=600, tiebreak_col="event_id"),
         "events_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
@@ -628,6 +636,18 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_docs": D.minhash_near_dup_pairs_sql(n=4, num_hashes=16, tau_num=jn, tau_den=jd),
         "cosine_topk_emb": A.cosine_topk_sql(ANN_QUERY, ANN_K),
         "cosine_near_dup_emb": A.cosine_near_dup_pairs_sql(tau=COS_TAU),
+        "pip_events": __import__(
+            "geo_index_spark.operators.pip", fromlist=["point_in_polygon_sql"]
+        ).point_in_polygon_sql(
+            PIP_POLYGONS,
+            "SELECT event_id, value AS x, user_id::DOUBLE AS y FROM events",
+        ),
+        "cluster_collapse_docs": D.collapse_near_dup_clusters_sql(
+            D.minhash_near_dup_pairs_sql(n=4, num_hashes=16, tau_num=jn, tau_den=jd)
+        ),
+        "lsh_ann_emb": A.lsh_cosine_topk_sql(
+            ANN_QUERY, ANN_K, dim=64, n_planes=12, probe_hamming=3
+        ),
     }
 
 

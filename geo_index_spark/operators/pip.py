@@ -111,6 +111,47 @@ def point_in_polygon(
     )
 
 
+def point_in_polygon_sql(
+    polygons: list[tuple[int, list[list[float]]]],
+    points_sql: str,
+    point_id: str = "event_id",
+    poly_id: str = "poly_id",
+) -> str:
+    """DuckDB mirror of :func:`point_in_polygon` for LITERAL polygon
+    rings: the identical even-odd ray cast — same edge decomposition
+    (np.roll closure), same crossing test ``(y1 > py) != (y2 > py) AND
+    px < (x2-x1)*(py-y1)/(y2-y1) + x1`` in the same IEEE-double
+    expression order — as a per-(point, edge) unnest + crossing-count
+    mod 2. The nested CASE guards the division: the outer WHEN is true
+    only when y1 != y2. ``points_sql`` must yield ({point_id}, x, y)."""
+    edge_rows = []
+    for pid, ring in polygons:
+        r = list(ring)
+        if len(r) >= 2 and r[0] == r[-1]:
+            r = r[:-1]
+        for i in range(len(r)):
+            x1, y1 = r[i]
+            x2, y2 = r[(i + 1) % len(r)]
+            edge_rows.append(
+                f"({pid}, {float(x1)!r}, {float(y1)!r}, {float(x2)!r}, {float(y2)!r})"
+            )
+    edges = ", ".join(edge_rows)
+    return f"""
+    WITH pts AS ({points_sql}),
+    edges(pg, x1, y1, x2, y2) AS (VALUES {edges}),
+    crossings AS (
+      SELECT p.{point_id}, e.pg,
+        CASE WHEN (e.y1 > p.y) <> (e.y2 > p.y)
+             THEN CASE WHEN p.x < (e.x2 - e.x1) * (p.y - e.y1) / (e.y2 - e.y1) + e.x1
+                       THEN 1 ELSE 0 END
+             ELSE 0 END AS c
+      FROM pts p CROSS JOIN edges e
+    )
+    SELECT {point_id}, pg::BIGINT AS {poly_id}
+    FROM crossings GROUP BY {point_id}, pg HAVING sum(c) % 2 = 1
+    """
+
+
 def zonal_stats(
     raster: DataFrame,
     polygons: DataFrame,

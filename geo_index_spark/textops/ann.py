@@ -10,8 +10,10 @@
   the small-dim / validation path).
 * :func:`lsh_cosine_topk` — the scale path: random-hyperplane (SimHash
   for vectors) bucketing with multi-probe, so candidate generation is
-  an equi-join on bucket keys instead of a cross join. Approximate by
-  design -> no SQL oracle; recall is pytest-pinned against brute force.
+  an equi-join on bucket keys instead of a cross join. Approximate vs
+  brute force (recall pytest-pinned) but DETERMINISTIC given the fixed
+  hyperplane seed, so :func:`lsh_cosine_topk_sql` replays the identical
+  bucket key + bit_count probe + cosine top-k in DuckDB — exact parity.
 
 Scores are rounded to 6 decimals in outputs so Spark/DuckDB float
 folds cannot produce hash-unstable trailing digits.
@@ -180,3 +182,48 @@ def lsh_cosine_topk(
         F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qkey))) <= F.lit(int(probe_hamming))
     )
     return cosine_topk(cand, [float(v) for v in q], k, id_col, vec_col)
+
+
+def lsh_cosine_topk_sql(
+    query_vec: list[float],
+    k: int,
+    dim: int | None = None,
+    n_planes: int = 12,
+    probe_hamming: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of :func:`lsh_cosine_topk`: the hyperplanes are
+    fixed literals (same ``_hyperplanes`` seed), so the bucket key,
+    the bit_count multi-probe filter, and the cosine top-k replay
+    exactly. ``repr(float)`` round-trips IEEE doubles, so the plane
+    literals are bit-identical on both engines."""
+    dim = dim or len(query_vec)
+    H = _hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qkey = int(sum((1 << j) for j in range(n_planes) if float(H[j] @ q) > 0))
+    qn = float(np.linalg.norm(q))
+    qlit = "[" + ", ".join(repr(float(v)) for v in q) + "]::DOUBLE[]"
+
+    def plane(j: int) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in H[j]) + "]::DOUBLE[]"
+        return (
+            f"(CASE WHEN list_dot_product(v, {lit}) > 0"
+            f" THEN {1 << j}::BIGINT ELSE 0 END)"
+        )
+
+    bucket = " + ".join(plane(j) for j in range(n_planes))
+    return f"""
+    WITH vecs AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+    bucketed AS (SELECT id, v, ({bucket})::BIGINT AS bucket FROM vecs),
+    cand AS (
+      SELECT id, v FROM bucketed
+      WHERE bit_count(xor(bucket, {qkey}::BIGINT)) <= {int(probe_hamming)}
+    )
+    SELECT id,
+           round(list_dot_product(v, {qlit})
+                 / (sqrt(list_dot_product(v, v)) * {qn!r}), 6) AS score
+    FROM cand ORDER BY score DESC, id ASC LIMIT {int(k)}
+    """

@@ -453,6 +453,37 @@ def collapse_near_dup_clusters(
     )
 
 
+def collapse_near_dup_clusters_sql(
+    pairs_sql: str,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of :func:`collapse_near_dup_clusters` given a pairs
+    query emitting (a_id, b_id). Min-label connected components reach
+    the same fixpoint via a recursive transitive closure (UNION
+    dedups, so the recursion terminates); cluster_id = min reachable
+    id = exactly what min-label propagation + pointer jumping converges
+    to. Oracle-scale only — closure is quadratic in component size."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION
+      SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+    SELECT d.{id_col} AS {id_col},
+           coalesce(c.cluster_id, d.{id_col})::BIGINT AS cluster_id,
+           (d.{id_col} = coalesce(c.cluster_id, d.{id_col})) AS is_representative
+    FROM {table} d LEFT JOIN comp c ON c.u = d.{id_col}
+    """
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -205,6 +205,66 @@ def q_knn_boxes_parts(spark, sf_dir):
     return out.select("row_id", F.round(F.col("dist"), 6).alias("dist_r"))
 
 
+KNN_POLYLINE = [[50.0, 10.0], [150.0, 90.0], [300.0, 40.0], [450.0, 120.0]]
+KNN_POLYGON = PIP_POLY0 = [[50.0, 10.0], [150.0, 25.0], [180.0, 80.0], [90.0, 120.0], [20.0, 70.0]]
+
+
+def q_knn_geometry_events(spark, sf_dir):
+    """Q5 full: kNN by query GEOMETRY (polyline) — exact point-to-
+    segment distance, two-phase bbox-lower-bound prune (reference
+    neighbors_geometry, src/rtree/trait.rs:397-500)."""
+    from geo_index_spark.operators.knn import knn_geometry
+
+    pts = _events_pts(spark, sf_dir)
+    out = knn_geometry(pts, KNN_POLYLINE, 50, geom_type="polyline", id_col="event_id")
+    return out.select("event_id", F.round(F.col("dist"), 6).alias("dist_r"))
+
+
+def q_knn_polygon_events(spark, sf_dir):
+    """Q5 full, polygon variant: distance 0 inside (even-odd ray cast),
+    else min distance to the ring — non-convex fixture."""
+    from geo_index_spark.operators.knn import knn_geometry
+
+    pts = _events_pts(spark, sf_dir)
+    out = knn_geometry(pts, KNN_POLYGON, 50, geom_type="polygon", id_col="event_id")
+    return out.select("event_id", F.round(F.col("dist"), 6).alias("dist_r"))
+
+
+def q_indexed_kd_bbox_events(spark, sf_dir):
+    """B4+Q7 via kd blobs: per-partition kdbush-v1 buffers (cheaper
+    point-table persistence than degenerate-box flatbush), probed for
+    the same bbox — result set must equal the plain scan."""
+    from geo_index_spark.operators.localbuild import (
+        build_partition_indexes,
+        search_partition_indexes,
+    )
+
+    pts = _events_pts(spark, sf_dir)
+    idx = build_partition_indexes(
+        pts, 8, cols=("x", "y"), id_col="event_id", tree_type="kdtree"
+    )
+    return search_partition_indexes(idx, 100, 20, 200, 80).withColumnRenamed(
+        "row_id", "event_id"
+    )
+
+
+def q_indexed_kd_within_events(spark, sf_dir):
+    """B4+Q8 via kd blobs: radius probe (inclusive dist^2 <= r^2),
+    partition-pruned by circle-vs-bbox lower bound."""
+    from geo_index_spark.operators.localbuild import (
+        build_partition_indexes,
+        within_partition_indexes,
+    )
+
+    pts = _events_pts(spark, sf_dir)
+    idx = build_partition_indexes(
+        pts, 8, cols=("x", "y"), id_col="event_id", tree_type="kdtree"
+    )
+    return within_partition_indexes(idx, 250.0, 75.0, 40.0).withColumnRenamed(
+        "row_id", "event_id"
+    )
+
+
 def q_indexed_bbox_events(spark, sf_dir):
     """B1+Q1 via the index-as-buffer path: per-partition serialized
     flatbush blobs built in mapInArrow, pruned+probed for a bbox —
@@ -464,7 +524,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_parts": q_spatial_join_parts,
         "spatial_join_events_parts": q_spatial_join_events_parts,
         "knn_boxes_parts": q_knn_boxes_parts,
+        "knn_geometry_events": q_knn_geometry_events,
+        "knn_polygon_events": q_knn_polygon_events,
         "indexed_bbox_events": q_indexed_bbox_events,
+        "indexed_kd_bbox_events": q_indexed_kd_bbox_events,
+        "indexed_kd_within_events": q_indexed_kd_within_events,
         "distance_join_events": q_distance_join_events,
         "zonal_stats_rect": q_zonal_stats_rect,
         "sessionize_events": q_sessionize_events,
@@ -581,6 +645,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY dist ASC, row_id ASC LIMIT 50
         """,
         "indexed_bbox_events": f"SELECT event_id FROM {_EV_PTS} WHERE x >= 100 AND x <= 200 AND y >= 20 AND y <= 80",
+        "indexed_kd_bbox_events": f"SELECT event_id FROM {_EV_PTS} WHERE x >= 100 AND x <= 200 AND y >= 20 AND y <= 80",
+        "indexed_kd_within_events": f"""
+            SELECT event_id FROM {_EV_PTS}
+            WHERE x >= 210 AND x <= 290 AND y >= 35 AND y <= 115
+              AND (x - 250.0)*(x - 250.0) + (y - 75.0)*(y - 75.0) <= 1600.0
+        """,
+        "knn_geometry_events": __import__(
+            "geo_index_spark.operators.knn", fromlist=["knn_geometry_sql"]
+        ).knn_geometry_sql(
+            KNN_POLYLINE, 50,
+            "SELECT event_id, value AS x, user_id::DOUBLE AS y FROM events",
+            geom_type="polyline",
+        ),
+        "knn_polygon_events": __import__(
+            "geo_index_spark.operators.knn", fromlist=["knn_geometry_sql"]
+        ).knn_geometry_sql(
+            KNN_POLYGON, 50,
+            "SELECT event_id, value AS x, user_id::DOUBLE AS y FROM events",
+            geom_type="polygon",
+        ),
         "distance_join_events": f"""
             SELECT a.event_id AS left_id, b.event_id AS right_id
             FROM {_EV_PTS} a, {_EV_PTS} b

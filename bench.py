@@ -24,6 +24,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import functions as F
 
+from geo_index_spark.benchwork import (
+    BENCH_CONF,
+    CALIB_REF_SEC,
+    SYNTH_BOUNDS,
+    SYNTH_GRID_LEVEL,
+    cpu_calibration_sec,
+    synth_boxes,
+)
 from geo_index_spark.operators import knn, spatial_join, within
 from geo_index_spark.operators.partitioning import hilbert_partition
 from geo_index_spark.operators.search import kd_range
@@ -55,55 +63,20 @@ def _events_boxes(spark, half=0.5):
     )
 
 
+# the synth workload definition (eps / grid_level / bounds / generator)
+# is SHARED with scripts/scaling_bench.py via geo_index_spark.benchwork,
+# so BENCH_r*.json and BENCH/BASELINE.md always measure the same job
 N_SYNTH = int(os.environ.get("SPARK_GRAFT_SYNTH_ROWS", "8000000"))
-
-
-def _synth_boxes(spark, n: int, eps: float = 0.0005):
-    """Deterministic skewed web-geotag boxes generated JVM-side
-    (80% clustered on 50 city centers) — the throughput workload; the
-    sf tables are too small to out-scale fixed stage costs."""
-    base = spark.range(n).select(
-        F.col("id").alias("row_id"),
-        (F.pmod(F.xxhash64("id"), F.lit(50))).alias("city"),
-        ((F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000000)) / 1e6)).alias("u1"),
-        ((F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000000)) / 1e6)).alias("u2"),
-        ((F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1000000)) / 1e6)).alias("u3"),
-    )
-    cx = (F.pmod(F.xxhash64(F.col("city")), F.lit(360000)) / 1000.0) - 180.0
-    cy = (F.pmod(F.xxhash64(F.col("city"), F.lit(7)), F.lit(130000)) / 1000.0) - 60.0
-    cl = F.col("u3") < 0.8
-    pts = base.select(
-        "row_id",
-        F.when(cl, cx + (F.col("u1") - 0.5) * 0.2)
-        .otherwise(F.col("u1") * 360.0 - 180.0)
-        .alias("x"),
-        F.when(cl, cy + (F.col("u2") - 0.5) * 0.2)
-        .otherwise(F.col("u2") * 170.0 - 85.0)
-        .alias("y"),
-    )
-    return pts.select(
-        "row_id",
-        (F.col("x") - eps).alias("minx"),
-        (F.col("y") - eps).alias("miny"),
-        (F.col("x") + eps).alias("maxx"),
-        (F.col("y") + eps).alias("maxy"),
-    ), pts
+SYNTH_REPS = int(os.environ.get("SPARK_GRAFT_SYNTH_REPS", "3"))
 
 
 def main() -> None:
+    calib = cpu_calibration_sec()
     spark = get_spark(
         "bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS * 4, 32),
-        extra_conf={
-            # measured local-mode config (PLANS.md / BENCH/BASELINE.md):
-            # AQE byte-based coalescing starves compute-dense join stages;
-            # lz4 costs more than it saves on a RAM-backed shuffle dir
-            "spark.sql.adaptive.coalescePartitions.enabled": "false",
-            "spark.shuffle.compress": "false",
-            "spark.shuffle.spill.compress": "false",
-            "spark.local.dir": "/dev/shm/spark-local",
-        },
+        extra_conf=BENCH_CONF,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -182,25 +155,37 @@ def main() -> None:
     )
 
     # 8b. HEADLINE: web-scale synthetic join + hilbert build (8M rows,
-    # skewed) — the throughput numbers that scale past fixed costs
-    sb, sp = _synth_boxes(spark, N_SYNTH)
+    # skewed) — the SAME workload as the scaling evidence run
+    # (benchwork: eps=1e-4, grid_level=18), min-of-N per the noisy-host
+    # protocol (virtio disk + CPU weather swing individual runs 2x+)
+    sb, sp = synth_boxes(spark, N_SYNTH)
     sb = sb.persist()
     sb.count()
-    n_pairs_synth = timed(
+
+    def min_of(name, fn):
+        best = None
+        for _ in range(SYNTH_REPS):
+            t0 = time.perf_counter()
+            out = fn()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        timings[name] = round(best, 4)
+        print(f"[bench] {name}: {timings[name]}s (min of {SYNTH_REPS})", file=sys.stderr)
+        return out
+
+    n_pairs_synth = min_of(
         "spatial_join_synth",
         lambda: spatial_join(
-            sb, sb, bounds=(-180.0, -85.0, 180.0, 85.0), grid_level=17
+            sb, sb, bounds=SYNTH_BOUNDS, grid_level=SYNTH_GRID_LEVEL
         ).count(),
     )
     t = timings["spatial_join_synth"]
     extras["synth_rows"] = N_SYNTH
     extras["synth_join_input_mrows_per_sec"] = round((2 * N_SYNTH / 1e6) / t, 3)
     extras["synth_join_pairs"] = int(n_pairs_synth)
-    timed(
+    min_of(
         "hilbert_build_synth",
-        lambda: hilbert_partition(
-            sp, CPUS * 2, cols=("x", "y"), bounds=(-180.0, -85.0, 180.0, 85.0)
-        )
+        lambda: hilbert_partition(sp, CPUS * 2, cols=("x", "y"), bounds=SYNTH_BOUNDS)
         .write.mode("overwrite")
         .format("noop")
         .save(),
@@ -216,6 +201,15 @@ def main() -> None:
 
     q = [round(float(v), 4) for v in np.random.default_rng(0).standard_normal(64)]
     timed("cosine_topk", lambda: A.cosine_topk(emb, q, 25).collect())
+
+    # host-weather normalization: divide throughputs by cpu_factor to
+    # compare round-over-round (cpu_factor > 1 = this host ran slower
+    # than the evidence-run host)
+    extras["cpu_calib_sec"] = round(calib, 4)
+    extras["cpu_factor"] = round(calib / CALIB_REF_SEC, 3)
+    extras["synth_join_mrows_per_sec_normalized"] = round(
+        extras["synth_join_input_mrows_per_sec"] * extras["cpu_factor"], 3
+    )
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -71,6 +71,196 @@ def knn_boxes(
     return out.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(int(k))
 
 
+# ---------------------------------------------------------------------------
+# Q5 full: kNN by query GEOMETRY (reference neighbors_geometry,
+# src/rtree/trait.rs:397-500 + GeometryAccessor trait.rs:43-52)
+# ---------------------------------------------------------------------------
+
+
+def _geom_edges(vertices: list[list[float]], geom_type: str) -> list[tuple[float, float, float, float]]:
+    """(x1, y1, x2, y2) edge list; polygons close the ring (dropping a
+    duplicated closing vertex first), polylines don't."""
+    v = [(float(p[0]), float(p[1])) for p in vertices]
+    if geom_type == "polygon" and len(v) >= 2 and v[0] == v[-1]:
+        v = v[:-1]
+    n = len(v)
+    if n < 2:
+        raise ValueError("geometry needs at least 2 vertices")
+    last = n if geom_type == "polygon" else n - 1
+    return [(v[i][0], v[i][1], v[(i + 1) % n][0], v[(i + 1) % n][1]) for i in range(last)]
+
+
+def geom_bounds(vertices: list[list[float]]) -> tuple[float, float, float, float]:
+    xs = [float(p[0]) for p in vertices]
+    ys = [float(p[1]) for p in vertices]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def point_to_geom_np(px, py, vertices: list[list[float]], geom_type: str):
+    """Vectorized exact point-to-geometry distance (numpy twin of
+    :func:`geom_distance_col`; also the >32-edge Arrow fast path).
+    Polyline: min point-to-segment distance. Polygon: 0 inside
+    (even-odd ray cast), else min distance to the ring."""
+    import numpy as np
+
+    px = np.asarray(px, np.float64)[:, None]
+    py = np.asarray(py, np.float64)[:, None]
+    e = np.array(_geom_edges(vertices, geom_type), dtype=np.float64)
+    x1, y1, x2, y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    dx, dy = x2 - x1, y2 - y1
+    l2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - x1) * dx + (py - y1) * dy) / l2
+    t = np.where(l2 == 0.0, 0.0, np.clip(t, 0.0, 1.0))
+    cx = x1 + t * dx
+    cy = y1 + t * dy
+    d2 = (px - cx) ** 2 + (py - cy) ** 2
+    d = np.sqrt(d2.min(axis=1))
+    if geom_type == "polygon":
+        from geo_index_spark.operators.pip import ray_cast_np
+
+        ring = np.array([[p[0], p[1]] for p in vertices], dtype=np.float64)
+        inside = ray_cast_np(px[:, 0], py[:, 0], ring)
+        d = np.where(inside, 0.0, d)
+    return d
+
+
+def geom_distance_col(x: Column, y: Column, vertices: list[list[float]], geom_type: str = "polyline") -> Column:
+    """Exact point-to-geometry distance as a PURE CATALYST expression —
+    the geometry is a literal, so every edge's dx/dy/l2 folds to a
+    Python-computed double and the whole thing stays in whole-stage
+    codegen. Per edge: t = clamp(((p-a).(b-a))/|b-a|^2, 0, 1),
+    d2 = |p - (a + t(b-a))|^2; distance = sqrt(min over edges);
+    polygons short-circuit to 0 when the even-odd ray cast says inside.
+    Use :func:`point_to_geom_np` via mapInPandas for geometries with
+    thousands of edges (a flat least() over ~1e3 subtrees stops being
+    a reasonable codegen unit)."""
+    edges = _geom_edges(vertices, geom_type)
+    d2s = []
+    for (x1, y1, x2, y2) in edges:
+        dx, dy = x2 - x1, y2 - y1
+        l2 = dx * dx + dy * dy
+        if l2 == 0.0:
+            d2s.append((x - F.lit(x1)) * (x - F.lit(x1)) + (y - F.lit(y1)) * (y - F.lit(y1)))
+            continue
+        t_raw = ((x - F.lit(x1)) * F.lit(dx) + (y - F.lit(y1)) * F.lit(dy)) / F.lit(l2)
+        t = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t_raw))
+        cx = F.lit(x1) + t * F.lit(dx)
+        cy = F.lit(y1) + t * F.lit(dy)
+        d2s.append((x - cx) * (x - cx) + (y - cy) * (y - cy))
+    d = F.sqrt(F.least(*d2s) if len(d2s) > 1 else d2s[0])
+    if geom_type == "polygon":
+        # even-odd crossing parity, same test as pip.ray_cast_np
+        crossings = None
+        for (x1, y1, x2, y2) in edges:
+            if y1 == y2:
+                continue
+            xin = F.lit(x2 - x1) * (y - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+            c = F.when(
+                ((F.lit(y1) > y) != (F.lit(y2) > y)) & (x < xin), F.lit(1)
+            ).otherwise(F.lit(0))
+            crossings = c if crossings is None else crossings + c
+        inside = (crossings % 2 == 1) if crossings is not None else F.lit(False)
+        d = F.when(inside, F.lit(0.0)).otherwise(d)
+    return d
+
+
+def knn_geometry(
+    df: DataFrame,
+    vertices: list[list[float]],
+    k: int,
+    geom_type: str = "polyline",
+    max_distance: float | None = None,
+    cols: tuple[str, str] = ("x", "y"),
+    id_col: str = "row_id",
+    two_phase: bool = True,
+) -> DataFrame:
+    """Exact top-k rows by distance to a query geometry — the
+    reference's ``neighbors_geometry`` (candidate lower bound by bbox,
+    exact geom refine on candidates; src/rtree/trait.rs:397-500).
+
+    Two-phase exact plan: (1) seed top-k by the bbox lower bound
+    (TakeOrderedAndProject — k rows to the driver) and read their MAX
+    exact distance D; any true top-k row has exact <= D and bbox lower
+    bound <= exact, so (2) ``filter(lb <= D)`` is a complete candidate
+    set — the exact distance is then computed only on candidates and
+    merged with the same (dist, id) tiebreak. Both phases are pure
+    Catalyst for literal geometries."""
+    x, y = (F.col(c) for c in cols)
+    gb = geom_bounds(vertices)
+    # bbox lower bound: geometry is inside its bbox, so
+    # dist(p, bbox) <= dist(p, geom) — the same axis_dist composition
+    # as box_distance_col with the box literal and the point a column
+    ddx = F.greatest(F.lit(0.0), F.greatest(F.lit(gb[0]) - x, x - F.lit(gb[2])))
+    ddy = F.greatest(F.lit(0.0), F.greatest(F.lit(gb[1]) - y, y - F.lit(gb[3])))
+    lb = F.sqrt(ddx * ddx + ddy * ddy)
+    exact = geom_distance_col(x, y, vertices, geom_type)
+    out = df
+    if two_phase:
+        seeds = (
+            df.withColumn("_lb", lb)
+            .withColumn("dist", exact)
+            .orderBy(F.col("_lb").asc(), F.col(id_col).asc())
+            .limit(int(k))
+            .select("dist")
+            .collect()
+        )
+        if len(seeds) >= int(k) and seeds:
+            D = max(r["dist"] for r in seeds)
+            if max_distance is not None:
+                D = min(D, float(max_distance))
+            out = out.filter(lb <= F.lit(float(D)))
+    out = out.withColumn("dist", exact)
+    if max_distance is not None:
+        out = out.filter(F.col("dist") <= F.lit(float(max_distance)))
+    return out.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(int(k))
+
+
+def knn_geometry_sql(
+    vertices: list[list[float]],
+    k: int,
+    points_sql: str,
+    geom_type: str = "polyline",
+    point_id: str = "event_id",
+) -> str:
+    """DuckDB mirror of :func:`knn_geometry`: identical per-edge clamp
+    distance with dx/dy/l2 pre-folded to the same Python doubles, min
+    via n-ary least(), polygon inside via the same ray-cast parity —
+    expression order matches :func:`geom_distance_col` term for term,
+    so IEEE doubles agree exactly."""
+    edges = _geom_edges(vertices, geom_type)
+    d2s = []
+    for (x1, y1, x2, y2) in edges:
+        dx, dy = x2 - x1, y2 - y1
+        l2 = dx * dx + dy * dy
+        if l2 == 0.0:
+            d2s.append(f"((p.x - {x1!r})*(p.x - {x1!r}) + (p.y - {y1!r})*(p.y - {y1!r}))")
+            continue
+        t = f"least(1.0, greatest(0.0, ((p.x - {x1!r})*{dx!r} + (p.y - {y1!r})*{dy!r}) / {l2!r}))"
+        cx = f"({x1!r} + {t}*{dx!r})"
+        cy = f"({y1!r} + {t}*{dy!r})"
+        d2s.append(f"((p.x - {cx})*(p.x - {cx}) + (p.y - {cy})*(p.y - {cy}))")
+    mind2 = f"least({', '.join(d2s)})" if len(d2s) > 1 else d2s[0]
+    dist = f"sqrt({mind2})"
+    if geom_type == "polygon":
+        cs = []
+        for (x1, y1, x2, y2) in edges:
+            if y1 == y2:
+                continue
+            xin = f"({x2 - x1!r} * (p.y - {y1!r}) / {y2 - y1!r} + {x1!r})"
+            cs.append(
+                f"(CASE WHEN (({y1!r} > p.y) <> ({y2!r} > p.y)) AND p.x < {xin}"
+                f" THEN 1 ELSE 0 END)"
+            )
+        if cs:
+            dist = f"(CASE WHEN ({' + '.join(cs)}) % 2 = 1 THEN 0.0 ELSE {dist} END)"
+    return f"""
+    WITH p AS ({points_sql})
+    SELECT {point_id}, round({dist}, 6) AS dist_r
+    FROM p ORDER BY {dist} ASC, {point_id} ASC LIMIT {int(k)}
+    """
+
+
 def knn(
     df: DataFrame,
     qx: float,

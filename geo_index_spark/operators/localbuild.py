@@ -25,6 +25,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from geo_index_spark.localindex.flatbush import DEFAULT_NODE_SIZE, Flatbush
+from geo_index_spark.localindex.kdbush import KDBush
 from geo_index_spark.operators.partitioning import hilbert_partition
 
 INDEX_SCHEMA = (
@@ -57,13 +58,26 @@ def build_partition_indexes(
     id_col: str = "row_id",
     node_size: int = DEFAULT_NODE_SIZE,
     bounds: tuple[float, float, float, float] | None = None,
+    tree_type: str = "rtree",
 ) -> DataFrame:
-    """Hilbert-partition ``df`` and build one serialized flatbush per
-    partition. Returns the index table (one row per non-empty partition)."""
+    """Hilbert-partition ``df`` and build one serialized local index per
+    partition. Returns the index table (one row per non-empty partition).
+
+    ``tree_type="rtree"`` emits flatbush-v3 blobs (boxes or points);
+    ``tree_type="kdtree"`` emits kdbush-v1 blobs — point tables only,
+    ~2.4x smaller than degenerate-box flatbush (2 coords vs 4 box
+    coords + internal nodes), mirroring the reference where kdbush
+    persistence is equally first-class (src/kdtree/index.rs:114-141).
+    The probe side dispatches on the blob magic byte (0xfb vs 0xdb) —
+    the reference's CoordType/kind inference surface (X8)."""
+    if tree_type not in ("rtree", "kdtree"):
+        raise ValueError(f"tree_type must be rtree|kdtree, got {tree_type!r}")
+    point_mode = len(cols) == 2
+    if tree_type == "kdtree" and not point_mode:
+        raise ValueError("kdtree blobs index point tables; pass cols=(x, y)")
     hp = hilbert_partition(df, num_partitions, bounds=bounds, cols=cols)
     sel = [id_col, *cols] if len(cols) == 4 else [id_col, cols[0], cols[1]]
     hp = hp.select(*sel)
-    point_mode = len(cols) == 2
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tbl = pa.Table.from_batches(list(batches)) if batches else None
@@ -73,14 +87,21 @@ def build_partition_indexes(
         if point_mode:
             x = tbl.column(1).to_numpy(zero_copy_only=False)
             y = tbl.column(2).to_numpy(zero_copy_only=False)
-            boxes = np.stack([x, y, x, y], axis=1)
+            if tree_type == "kdtree":
+                kd = KDBush(np.stack([x, y], axis=1), node_size=node_size)
+                blob = kd.to_bytes()
+                b = (float(x.min()), float(y.min()), float(x.max()), float(y.max()))
+            else:
+                boxes = np.stack([x, y, x, y], axis=1)
         else:
             boxes = np.stack(
                 [tbl.column(i).to_numpy(zero_copy_only=False) for i in (1, 2, 3, 4)],
                 axis=1,
             )
-        fb = Flatbush(boxes, node_size=node_size)
-        b = fb.bounds
+        if tree_type == "rtree":
+            fb = Flatbush(boxes, node_size=node_size)
+            blob = fb.to_bytes()
+            b = fb.bounds
         yield pa.RecordBatch.from_pydict(
             {
                 "num_items": pa.array([len(ids)], pa.int64()),
@@ -88,12 +109,20 @@ def build_partition_indexes(
                 "miny": pa.array([b[1]], pa.float64()),
                 "maxx": pa.array([b[2]], pa.float64()),
                 "maxy": pa.array([b[3]], pa.float64()),
-                "tree": pa.array([fb.to_bytes()], pa.binary()),
+                "tree": pa.array([blob], pa.binary()),
                 "ids": pa.array([ids.tobytes()], pa.binary()),
             }
         )
 
     return hp.mapInArrow(build, INDEX_SCHEMA)
+
+
+def _probe_blob_bbox(tree: bytes, min_x, min_y, max_x, max_y) -> np.ndarray:
+    """Inclusive bbox probe of one serialized blob, dispatched on the
+    magic byte: 0xfb -> flatbush search, 0xdb -> kdbush range."""
+    if tree[0] == 0xDB:
+        return KDBush.from_bytes(tree).range(min_x, min_y, max_x, max_y)
+    return Flatbush.from_bytes(tree).search(min_x, min_y, max_x, max_y)
 
 
 def search_partition_indexes(
@@ -105,7 +134,8 @@ def search_partition_indexes(
 ) -> DataFrame:
     """Probe the index table with a bbox query: Catalyst partition-bbox
     pruning first (the exchange-free root level), then vectorized local
-    tree searches. Returns row_id rows (set contract, Q1)."""
+    tree searches (flatbush or kdbush, by blob magic). Returns row_id
+    rows (set contract, Q1/Q7)."""
     from geo_index_spark.operators.search import bbox_search
 
     pruned = bbox_search(index_df, min_x, min_y, max_x, max_y)
@@ -115,8 +145,50 @@ def search_partition_indexes(
             d = batch.to_pydict()
             hits: list[np.ndarray] = []
             for tree, ids in zip(d["tree"], d["ids"]):
-                fb = Flatbush.from_bytes(tree)
-                idx = fb.search(min_x, min_y, max_x, max_y)
+                idx = _probe_blob_bbox(tree, min_x, min_y, max_x, max_y)
+                if idx.size:
+                    hits.append(np.frombuffer(ids, dtype=np.int64)[idx])
+            out = np.concatenate(hits) if hits else np.empty(0, np.int64)
+            yield pa.RecordBatch.from_pydict({"row_id": pa.array(out, pa.int64())})
+
+    return pruned.mapInArrow(probe, "row_id long")
+
+
+def within_partition_indexes(
+    index_df: DataFrame,
+    qx: float,
+    qy: float,
+    r: float,
+) -> DataFrame:
+    """Radius probe of the index table (Q8 over blobs): Catalyst
+    partition pruning by circle-vs-bbox lower bound, then local
+    ``within`` on kdbush blobs (flatbush point blobs fall back to a
+    bbox search + exact residual — same inclusive dist^2 <= r^2
+    contract, reference src/kdtree/trait.rs:118-174)."""
+    from pyspark.sql import functions as F
+
+    pruned = index_df.filter(_lb_col(qx, qy, "euclidean") <= F.lit(float(r)))
+
+    def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            d = batch.to_pydict()
+            hits: list[np.ndarray] = []
+            for tree, ids in zip(d["tree"], d["ids"]):
+                if tree[0] == 0xDB:
+                    idx = KDBush.from_bytes(tree).within(qx, qy, r)
+                else:
+                    fb = Flatbush.from_bytes(tree)
+                    idx = fb.search(qx - r, qy - r, qx + r, qy + r)
+                    if idx.size:
+                        # leaf nodes hold boxes in sort order; invert the
+                        # insertion-index permutation to look them up
+                        n = fb.num_items
+                        pos = np.empty(n, dtype=np.int64)
+                        pos[fb.indices[:n]] = np.arange(n)
+                        lb = fb.nodes[pos[idx]]
+                        cx = (lb[:, 0] + lb[:, 2]) / 2.0
+                        cy = (lb[:, 1] + lb[:, 3]) / 2.0
+                        idx = idx[(cx - qx) ** 2 + (cy - qy) ** 2 <= r * r]
                 if idx.size:
                     hits.append(np.frombuffer(ids, dtype=np.int64)[idx])
             out = np.concatenate(hits) if hits else np.empty(0, np.int64)
@@ -132,11 +204,16 @@ def knn_partition_indexes(
     k: int,
     metric: str = "euclidean",
     prune: bool = True,
+    max_distance: float | None = None,
 ) -> DataFrame:
     """Two-phase kNN over the index table: prune partitions whose bbox
     cannot contain a top-k answer, then per-partition best-first local
     top-k inside mapInArrow, then the global TakeOrdered merge — the
     reference heap search distributed (src/rtree/trait.rs:238-302).
+
+    ``max_distance`` prunes inclusively at every level, matching the
+    reference's ``neighbors`` (src/rtree/trait.rs:261): it caps the
+    partition-prune radius, the local heap search, and hence the merge.
 
     Pruning (exact): sort partitions by lower-bound distance to their
     bbox; take partitions until the cumulative item count reaches k;
@@ -168,11 +245,17 @@ def knn_partition_indexes(
             need = int(np.searchsorted(cum, k) + 1)
             need = min(need, len(order))
             radius = float(ub[order[:need]].max())
+            if max_distance is not None:
+                radius = min(radius, float(max_distance))
             index_df = index_df.filter(
                 # re-derive the lower bound as a Catalyst predicate:
                 # clamp(q) to box then distance <= radius
                 _lb_col(qx, qy, metric) <= F.lit(radius)
             )
+    elif max_distance is not None:
+        index_df = index_df.filter(
+            _lb_col(qx, qy, metric) <= F.lit(float(max_distance))
+        )
 
     def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -181,7 +264,9 @@ def knn_partition_indexes(
             all_d: list[np.ndarray] = []
             for tree, ids in zip(d["tree"], d["ids"]):
                 fb = Flatbush.from_bytes(tree)
-                lids, ldist = fb.neighbors(qx, qy, max_results=k, metric=metric)
+                lids, ldist = fb.neighbors(
+                    qx, qy, max_results=k, max_distance=max_distance, metric=metric
+                )
                 if lids.size:
                     all_ids.append(np.frombuffer(ids, dtype=np.int64)[lids])
                     all_d.append(ldist)

@@ -8,9 +8,13 @@ ANSI-SQL oracle and no Python on the hot path.
 """
 
 from geo_index_spark.textops.dedup import (  # noqa: F401
+    collapse_near_dup_clusters,
     exact_dedup,
     minhash_near_dup_pairs,
+    minhash_near_dup_pairs_fast,
     ngram_jaccard_pairs,
+    simhash64,
+    simhash64_pairs,
     simhash_pairs,
 )
 from geo_index_spark.textops.quality import (  # noqa: F401

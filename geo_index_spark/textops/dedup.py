@@ -143,6 +143,8 @@ def minhash_near_dup_pairs(
     band_rows: int = 4,
     tau_num: int = 1,
     tau_den: int = 2,
+    refine: str = "auto",
+    broadcast_max_shingles: int = 10_000_000,
 ) -> DataFrame:
     """MinHash/LSH: ``num_hashes`` signatures grouped into bands of
     ``band_rows`` rows; candidates collide on a whole band (collision
@@ -150,7 +152,22 @@ def minhash_near_dup_pairs(
     candidate join, which is what makes the operator viable at scale),
     then are refined by exact integer-threshold Jaccard. Deterministic —
     the SQL oracle replays the identical LSH, so output parity is exact,
-    not probabilistic."""
+    not probabilistic.
+
+    ``refine`` picks the exact-Jaccard intersection strategy (both
+    produce identical output — parity pytest-pinned):
+
+    * ``"broadcast"`` — per-doc sorted shingle-hash sets broadcast to
+      every executor, intersections via ``array_intersect``. Fastest
+      when the whole corpus' shingle sets fit in executor memory;
+      does NOT scale past that (an O(corpus) broadcast).
+    * ``"counting"`` — the candidates x shingles counting join:
+      explode shingles only for docs that appear in a candidate pair
+      (semi-join pruned), equi-join on (doc, shingle), count matches
+      per pair. Pure shuffle — no memory ceiling; the 100 TB path.
+    * ``"auto"`` — counts the (cached) shingle table and broadcasts
+      iff it has <= ``broadcast_max_shingles`` rows (~16 B/row -> the
+      default gates the broadcast at ~160 MB)."""
     if num_hashes % band_rows:
         raise ValueError("num_hashes must be a multiple of band_rows")
     spark = docs.sparkSession
@@ -188,38 +205,89 @@ def minhash_near_dup_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    # exact-Jaccard refinement on candidates only. Intersection counts
-    # come from array_intersect against per-doc sorted shingle-hash sets
-    # (docs-sized side, broadcastable) rather than a candidates-x-shingles
-    # counting join — when similarity is common, |candidates| >> |docs|
-    # and the array path avoids an 1e9-row shuffle. Intersections use a
+    # exact-Jaccard refinement on candidates only. Intersections use a
     # 60-bit md5-prefix hash of each shingle (long compares ~10x faster
     # than strings; collision odds ~|vocab|^2 / 2^61 — negligible, and
     # equal for Spark and the SQL oracle since both compare exact sets
     # up to that hash).
     h60 = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
-    sets = sh.withColumn("h60", h60).groupBy("id").agg(
-        F.sort_array(F.collect_set("h60")).alias("hs"), F.count(F.lit(1)).alias("sz")
-    )
-    out = (
-        cand.repartition(par, "a", "b")  # AQE would coalesce millions of
-        # candidate pairs into one task; the refine stage must stay wide
-        .join(
-            F.broadcast(sets.select(F.col("id").alias("a"), F.col("hs").alias("ha"), F.col("sz").alias("sza"))),
-            "a",
+    keyed = sh.withColumn("k", h60).select("id", "k").dropDuplicates(["id", "k"])
+    # sizes count distinct shingle STRINGS (what the SQL oracle counts),
+    # not distinct h60 values — identical unless a within-doc h60
+    # collision occurs
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if refine == "auto":
+        refine = "broadcast" if sh.count() <= broadcast_max_shingles else "counting"
+    return _exact_jaccard_refine(cand, keyed, sizes, par, tau_num, tau_den, refine)
+
+
+def _exact_jaccard_refine(
+    cand: DataFrame,
+    keyed: DataFrame,
+    sizes: DataFrame,
+    par: int,
+    tau_num: int,
+    tau_den: int,
+    refine: str,
+) -> DataFrame:
+    """Exact integer-threshold Jaccard over candidate pairs. ``cand`` is
+    (a, b); ``keyed`` is the deduped (id, k) shingle-key table; ``sizes``
+    is (id, sz). Both strategies produce identical output (pytest-pinned):
+    ``broadcast`` ships per-doc sorted key sets to every executor (fast
+    while the corpus' sets fit in executor memory), ``counting`` is the
+    candidates x shingles counting join — pure shuffle, no memory
+    ceiling, the 100 TB path."""
+    # AQE would coalesce millions of candidate pairs into one task; the
+    # refine stage must stay wide
+    cand = cand.repartition(par, "a", "b")
+    if refine == "broadcast":
+        sets = keyed.groupBy("id").agg(
+            F.sort_array(F.collect_set("k")).alias("hs")
+        ).join(sizes, "id")
+        inter = (
+            cand.join(
+                F.broadcast(sets.select(F.col("id").alias("a"), F.col("hs").alias("ha"), F.col("sz").alias("sza"))),
+                "a",
+            )
+            .join(
+                F.broadcast(sets.select(F.col("id").alias("b"), F.col("hs").alias("hb"), F.col("sz").alias("szb"))),
+                "b",
+            )
+            .select(
+                "a", "b", "sza", "szb",
+                F.size(F.array_intersect(F.col("ha"), F.col("hb"))).alias("inter"),
+            )
         )
-        .join(
-            F.broadcast(sets.select(F.col("id").alias("b"), F.col("hs").alias("hb"), F.col("sz").alias("szb"))),
-            "b",
+    elif refine == "counting":
+        # shingles of candidate docs only (semi-join pruned), equi-join
+        # on (doc, shingle-key), count matches per pair. Zero-
+        # intersection candidates drop out of the inner join — they
+        # cannot pass the tau filter anyway (tau_num >= 1).
+        cand_ids = (
+            cand.select(F.col("a").alias("id"))
+            .union(cand.select(F.col("b").alias("id")))
+            .distinct()
         )
-        .withColumn("inter", F.size(F.array_intersect(F.col("ha"), F.col("hb"))))
-        .filter(
+        shp = keyed.join(cand_ids, "id", "left_semi")
+        pa = shp.select(F.col("id").alias("a"), "k")
+        pb = shp.select(F.col("id").alias("b"), "k")
+        inter = (
+            cand.join(pa, "a")
+            .join(pb, ["b", "k"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
+            .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
+        )
+    else:
+        raise ValueError(f"refine must be auto|broadcast|counting, got {refine!r}")
+    return (
+        inter.filter(
             F.col("inter") * F.lit(tau_den + tau_num)
             >= F.lit(tau_num) * (F.col("sza") + F.col("szb"))
         )
         .select(F.col("a").alias("a_id"), F.col("b").alias("b_id"))
     )
-    return out
 
 
 def minhash_near_dup_pairs_sql(
@@ -314,6 +382,68 @@ def simhash_sql(id_col: str = "doc_id", text_col: str = "text", table: str = "do
     """
 
 
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) — 64-bit SimHash over distinct lowercase word
+    tokens, token hashes via ``xxhash64`` (one JVM hash, no md5 round
+    trip). The scale path of :func:`simhash`: at billions of docs a
+    32-bit fingerprint saturates (random 32-bit collisions at ~2^16
+    docs per bucket) and 8-bit bands admit ~n^2/256 candidates per
+    band; 64 bits with 16-bit bands give 65,536 buckets per band.
+    Same majority-vote construction (ties -> 0). No SQL oracle
+    (xxhash64 is Spark-specific); candidate completeness and the
+    banding pigeonhole are pytest-pinned."""
+    tok = _tokens(docs, id_col, text_col).withColumn("h", F.xxhash64("t"))
+    sums = [
+        F.sum(
+            F.shiftrightunsigned(F.col("h"), k).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+        ).alias(f"s{k}")
+        for k in range(64)
+    ]
+    agg = tok.groupBy("id").agg(*sums)
+    # assemble the fingerprint in two 32-bit halves — 1 << 63 overflows
+    # a signed-long literal, shiftleft(hi, 32) does not
+    lo = None
+    hi = None
+    for k in range(32):
+        lbit = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        hbit = F.when(F.col(f"s{k + 32}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        lo = lbit if lo is None else lo + lbit
+        hi = hbit if hi is None else hi + hbit
+    fp = F.shiftleft(hi.cast("long"), 32).bitwiseOR(lo.cast("long"))
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash64_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with 64-bit SimHash Hamming distance <= max_hamming.
+    Candidates collide on one of 4 sixteen-bit bands (pigeonhole-
+    complete for distance <= 3: a pair differing in <= 3 bits has at
+    least one of its 4 bands identical); refined by bit_count(xor)."""
+    s = simhash64(docs, id_col, text_col)
+    parts = []
+    for band in range(4):
+        key = F.shiftrightunsigned(F.col("simhash"), 16 * band).bitwiseAND(F.lit(0xFFFF))
+        parts.append(s.select("id", "simhash", F.lit(band).alias("band"), key.alias("k")))
+    bands = parts[0]
+    for p in parts[1:]:
+        bands = bands.unionAll(p)
+    x = bands.withColumnsRenamed({"id": "a", "simhash": "fa"})
+    y = bands.withColumnsRenamed({"id": "b", "simhash": "fb"})
+    cand = (
+        x.join(y, on=["band", "k"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "fa", "b", "fb")
+        .distinct()
+    )
+    return cand.filter(
+        F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))) <= F.lit(max_hamming)
+    ).select(F.col("a").alias("a_id"), F.col("b").alias("b_id"))
+
+
 def minhash_near_dup_pairs_fast(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -323,6 +453,8 @@ def minhash_near_dup_pairs_fast(
     band_rows: int = 4,
     tau_num: int = 1,
     tau_den: int = 2,
+    refine: str = "auto",
+    broadcast_max_shingles: int = 10_000_000,
 ) -> DataFrame:
     """Production fast path of :func:`minhash_near_dup_pairs`: shingle
     hashes via ``xxhash64`` (one JVM hash per shingle instead of an md5
@@ -366,30 +498,11 @@ def minhash_near_dup_pairs_fast(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    sets = sh.groupBy("id").agg(
-        F.sort_array(F.collect_set("h")).alias("hs"), F.count(F.lit(1)).alias("sz")
-    )
-    return (
-        cand.repartition(par, "a", "b")
-        .join(
-            F.broadcast(
-                sets.select(F.col("id").alias("a"), F.col("hs").alias("ha"), F.col("sz").alias("sza"))
-            ),
-            "a",
-        )
-        .join(
-            F.broadcast(
-                sets.select(F.col("id").alias("b"), F.col("hs").alias("hb"), F.col("sz").alias("szb"))
-            ),
-            "b",
-        )
-        .withColumn("inter", F.size(F.array_intersect(F.col("ha"), F.col("hb"))))
-        .filter(
-            F.col("inter") * F.lit(tau_den + tau_num)
-            >= F.lit(tau_num) * (F.col("sza") + F.col("szb"))
-        )
-        .select(F.col("a").alias("a_id"), F.col("b").alias("b_id"))
-    )
+    keyed = sh.select("id", F.col("h").alias("k")).dropDuplicates(["id", "k"])
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if refine == "auto":
+        refine = "broadcast" if sh.count() <= broadcast_max_shingles else "counting"
+    return _exact_jaccard_refine(cand, keyed, sizes, par, tau_num, tau_den, refine)
 
 
 def collapse_near_dup_clusters(

@@ -86,3 +86,70 @@ def test_indexed_knn_pruned_matches_unpruned(spark):
         full = [(r.row_id, round(r.dist, 9)) for r in knn_partition_indexes(idx, *q, k, prune=False).collect()]
         assert pruned == full, f"q={q} k={k}"
     idx.unpersist()
+
+
+def test_indexed_knn_max_distance(spark):
+    """max_distance threads through partition prune + local heap +
+    merge; pruned == unpruned == plain knn (reference
+    src/rtree/trait.rs:261 inclusive semantics)."""
+    df = kdbush_df(spark)
+    idx = build_partition_indexes(df, 4, cols=("x", "y"))
+    want = [
+        (r.row_id, round(r.dist, 9))
+        for r in knn(df, 50.0, 50.0, 20, max_distance=15.0, cols=("x", "y")).collect()
+    ]
+    for prune in (True, False):
+        got = [
+            (r.row_id, round(r.dist, 9))
+            for r in knn_partition_indexes(
+                idx, 50.0, 50.0, 20, max_distance=15.0, prune=prune
+            ).collect()
+        ]
+        assert got == want
+    assert 0 < len(want) <= 20
+    assert all(d <= 15.0 for _, d in want)
+
+
+def test_kd_blob_search_and_within_parity(spark):
+    from geo_index_spark.localindex.kdbush import KDBush
+    from geo_index_spark.operators import within
+    from geo_index_spark.operators.localbuild import within_partition_indexes
+
+    df = kdbush_df(spark)
+    idx = build_partition_indexes(df, 4, cols=("x", "y"), tree_type="kdtree")
+    rows = idx.collect()
+    assert all(bytes(r.tree)[0] == 0xDB for r in rows)
+    # kd blob decodes via the kdbush kernel
+    kd = KDBush.from_bytes(bytes(rows[0].tree))
+    assert kd.num_items == rows[0].num_items
+    got = {r.row_id for r in search_partition_indexes(idx, 20, 30, 50, 70).collect()}
+    want = {r.row_id for r in bbox_search(df, 20, 30, 50, 70, cols=("x", "y", "x", "y")).collect()}
+    assert got == want
+    got_w = {r.row_id for r in within_partition_indexes(idx, 50.0, 50.0, 20.0).collect()}
+    want_w = {r.row_id for r in within(df, 50.0, 50.0, 20.0, cols=("x", "y")).collect()}
+    assert got_w == want_w and len(got_w) > 0
+
+
+def test_kd_blob_smaller_than_rtree_blob(spark):
+    df = kdbush_df(spark)
+    rt = build_partition_indexes(df, 1, cols=("x", "y"), tree_type="rtree").collect()
+    kd = build_partition_indexes(df, 1, cols=("x", "y"), tree_type="kdtree").collect()
+    assert len(bytes(kd[0].tree)) < len(bytes(rt[0].tree))
+
+
+def test_rtree_within_fallback_parity(spark):
+    """within over FLATBUSH point blobs (magic dispatch fallback) must
+    match the plain scan too."""
+    from geo_index_spark.operators import within
+    from geo_index_spark.operators.localbuild import within_partition_indexes
+
+    df = kdbush_df(spark)
+    idx = build_partition_indexes(df, 4, cols=("x", "y"), tree_type="rtree")
+    got = {r.row_id for r in within_partition_indexes(idx, 50.0, 50.0, 20.0).collect()}
+    want = {r.row_id for r in within(df, 50.0, 50.0, 20.0, cols=("x", "y")).collect()}
+    assert got == want
+
+
+def test_kd_blob_requires_points(spark):
+    with pytest.raises(ValueError):
+        build_partition_indexes(data1_df(spark), 2, tree_type="kdtree")

@@ -246,3 +246,56 @@ def test_knn_sequence_500_tie_free(spark):
     d = np.hypot(pts[:, 0] - q[0], pts[:, 1] - q[1])
     want = sorted(range(500), key=lambda i: (d[i], i))[:50]
     assert got == want
+
+
+class TestKnnGeometry:
+    """Q5 full: kNN by query geometry vs the numpy brute-force twin."""
+
+    PLINE = [[10.0, 10.0], [40.0, 80.0], [70.0, 20.0], [95.0, 60.0]]
+    PGON = [[20.0, 20.0], [80.0, 15.0], [90.0, 70.0], [50.0, 95.0], [15.0, 60.0]]
+
+    def _brute(self, df, vertices, geom_type, k, max_distance=None):
+        import numpy as np
+        from geo_index_spark.operators.knn import point_to_geom_np
+
+        rows = df.collect()
+        ids = np.array([r.row_id for r in rows])
+        d = point_to_geom_np([r.x for r in rows], [r.y for r in rows], vertices, geom_type)
+        order = np.lexsort((ids, d))
+        out = [(int(ids[i]), float(d[i])) for i in order]
+        if max_distance is not None:
+            out = [(i, v) for i, v in out if v <= max_distance]
+        return [(i, round(v, 9)) for i, v in out[:k]]
+
+    @pytest.mark.parametrize("geom_type,verts", [("polyline", PLINE), ("polygon", PGON)])
+    @pytest.mark.parametrize("two_phase", [True, False])
+    def test_matches_bruteforce(self, spark, geom_type, verts, two_phase):
+        from geo_index_spark.fixtures import kdbush_df
+        from geo_index_spark.operators.knn import knn_geometry
+
+        df = kdbush_df(spark)
+        got = [
+            (r.row_id, round(r.dist, 9))
+            for r in knn_geometry(df, verts, 25, geom_type=geom_type, two_phase=two_phase).collect()
+        ]
+        assert got == self._brute(df, verts, geom_type, 25)
+
+    def test_polygon_interior_distance_zero(self, spark):
+        from geo_index_spark.operators.knn import knn_geometry
+
+        pts = spark.createDataFrame(
+            [(1, 50.0, 50.0), (2, 200.0, 200.0)], "row_id long, x double, y double"
+        )
+        out = {r.row_id: r.dist for r in knn_geometry(pts, self.PGON, 2, geom_type="polygon").collect()}
+        assert out[1] == 0.0 and out[2] > 0.0
+
+    def test_max_distance(self, spark):
+        from geo_index_spark.fixtures import kdbush_df
+        from geo_index_spark.operators.knn import knn_geometry
+
+        df = kdbush_df(spark)
+        got = [
+            (r.row_id, round(r.dist, 9))
+            for r in knn_geometry(df, self.PLINE, 25, max_distance=5.0).collect()
+        ]
+        assert got == self._brute(df, self.PLINE, "polyline", 25, max_distance=5.0)

@@ -104,3 +104,82 @@ def test_real_codec_is_stubbed():
     p = encode_fake("IMG", 640, 480, 0, 1, b"xyz")
     m = decode_header(p)
     assert (m["width"], m["height"], m["body"]) == (640, 480, b"xyz")
+
+
+def test_stream_extract_pipeline_checkpoint_restart(spark, tmp_path):
+    """Continuous extraction e2e: raw page stream (html binary) ->
+    extract text -> geotag -> watermarked tile rollup, with a
+    CHECKPOINT RESTART mid-stream. The restarted query must resume from
+    the offset log (reading only the new file) and the final rollup
+    must equal the batch aggregate over all files."""
+    from geo_index_spark.webtext.extract import extract_text_col, geotag_col
+
+    pdf = web_pages_pdf(400)
+    pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
+    src = tmp_path / "pages"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pdf.iloc[:200].to_parquet(src / "a.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+
+    def pipeline():
+        pages = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        )
+        lon, lat = geotag_col(F.col("html"))
+        pts = (
+            pages.withColumn("text_ex", extract_text_col(F.col("html")))
+            .withColumn("x", lon)
+            .withColumn("y", lat)
+            .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        )
+        rolled = stream_tile_rollup(pts, ts_col="warc_ts", level=6, window="10 minutes")
+
+        def sink(batch_df, _epoch):
+            batch_df.write.mode("overwrite").parquet(out)
+
+        return (
+            rolled.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = pipeline()
+    q1.awaitTermination(120)
+    first = {(r.window_start, r.cell_id, r.n) for r in spark.read.parquet(out).collect()}
+    assert sum(n for _, _, n in first) > 0
+
+    # mid-stream: new files arrive, the query restarts FROM CHECKPOINT
+    pdf.iloc[200:].to_parquet(src / "b.parquet")
+    q2 = pipeline()
+    q2.awaitTermination(120)
+    # offset log replayed: the restarted run read only the new file
+    read2 = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert read2 <= 200
+
+    got = {(r.window_start, r.cell_id, r.n) for r in spark.read.parquet(out).collect()}
+    static = spark.read.parquet(str(src)).withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    )
+    lon, lat = geotag_col(F.col("html"))
+    pts = (
+        static.withColumn("x", lon).withColumn("y", lat)
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    want = {
+        (r.ws, r.cell_id, r.n)
+        for r in pts.groupBy(
+            F.window("warc_ts", "10 minutes").alias("w"),
+            quad_cell_col(F.col("x"), F.col("y"), 6).alias("cell_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "cell_id", "n")
+        .collect()
+    }
+    assert got == want and got != first

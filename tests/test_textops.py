@@ -136,3 +136,64 @@ def test_collapse_long_chain_converges(spark):
     out = D.collapse_near_dup_clusters(docs, pairs, max_iters=40).collect()
     assert all(r.cluster_id == 0 for r in out)
     assert sum(r.is_representative for r in out) == 1
+
+
+@pytest.fixture(scope="module")
+def docs_real(spark):
+    """Driver documents table at sf0.001 — enough similarity structure
+    to exercise both refine strategies non-trivially."""
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_minhash_refine_strategies_agree(spark, docs_real):
+    """broadcast (array_intersect) and counting (shuffled equi-join)
+    refine paths must produce identical pair sets — the size gate may
+    switch between them at scale without changing results."""
+    kw = dict(n=4, num_hashes=16, tau_num=1, tau_den=2)
+    bc = {(r.a_id, r.b_id) for r in D.minhash_near_dup_pairs(docs_real, refine="broadcast", **kw).collect()}
+    cj = {(r.a_id, r.b_id) for r in D.minhash_near_dup_pairs(docs_real, refine="counting", **kw).collect()}
+    assert bc == cj
+    assert len(bc) > 0
+
+
+def test_minhash_fast_refine_strategies_agree(spark, docs_real):
+    kw = dict(n=4, num_hashes=16, tau_num=1, tau_den=2)
+    bc = {(r.a_id, r.b_id) for r in D.minhash_near_dup_pairs_fast(docs_real, refine="broadcast", **kw).collect()}
+    cj = {(r.a_id, r.b_id) for r in D.minhash_near_dup_pairs_fast(docs_real, refine="counting", **kw).collect()}
+    assert bc == cj
+    assert len(bc) > 0
+
+
+def test_minhash_refine_auto_gate(spark, docs):
+    """auto with a zero threshold must take the counting path and still
+    match the broadcast output."""
+    kw = dict(n=4, num_hashes=16, tau_num=1, tau_den=2)
+    gated = {(r.a_id, r.b_id) for r in D.minhash_near_dup_pairs(docs, broadcast_max_shingles=0, **kw).collect()}
+    bc = {(r.a_id, r.b_id) for r in D.minhash_near_dup_pairs(docs, refine="broadcast", **kw).collect()}
+    assert gated == bc
+
+
+def test_simhash64_identical_and_near(spark, docs):
+    fp = {r.id: r.simhash for r in D.simhash64(docs).collect()}
+    assert fp[0] == fp[1]
+    # one-word edit flips few of the 64 bits
+    assert bin((fp[0] ^ fp[2]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 16
+    # fingerprints use the full 64-bit range (top half not stuck at 0)
+    assert any((v >> 32) & 0xFFFFFFFF not in (0, 0xFFFFFFFF) for v in fp.values())
+
+
+def test_simhash64_pairs_banding_complete(spark, docs_real):
+    """Pigeonhole completeness: every pair at Hamming <= 3 shares one of
+    the 4 sixteen-bit bands, so the banded candidate join must find the
+    exact same pairs as a brute-force all-pairs scan over fingerprints."""
+    fps = D.simhash64(docs_real).collect()
+    ids = np.array([r.id for r in fps])
+    vals = np.array([r.simhash for r in fps], dtype=np.int64).astype(np.uint64)
+    brute = set()
+    for i in range(len(ids)):
+        x = vals[i] ^ vals
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.nonzero((ham <= 3) & (ids > ids[i]))[0]:
+            brute.add((int(ids[i]), int(ids[j])))
+    banded = {(r.a_id, r.b_id) for r in D.simhash64_pairs(docs_real, max_hamming=3).collect()}
+    assert banded == brute

@@ -364,6 +364,29 @@ def q_pip_events(spark, sf_dir):
     )
 
 
+def q_pip_join_events(spark, sf_dir):
+    """The 100 TB PIP path: same even-odd semantics as pip_events but
+    fully distributed (polygon rings exploded to an edge table,
+    crossing-count equi-join — no driver collect, no broadcast).
+    Shares the ray-cast unnest oracle with pip_events."""
+    from geo_index_spark.operators.pip import point_in_polygon_join
+
+    pts = _events_pts(spark, sf_dir).withColumnRenamed("event_id", "row_id")
+    rows = []
+    for pid, ring in PIP_POLYGONS:
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        rows.append((pid, ring, min(xs), min(ys), max(xs), max(ys)))
+    polys = spark.createDataFrame(
+        rows,
+        "poly_id long, vertices array<array<double>>, minx double, miny double,"
+        " maxx double, maxy double",
+    )
+    return point_in_polygon_join(pts, polys, grid_level=4).withColumnsRenamed(
+        {"row_id": "event_id"}
+    )
+
+
 def q_cluster_collapse_docs(spark, sf_dir):
     """Near-dup pairs -> connected components -> representatives
     (iterative label propagation; non-SQL)."""
@@ -379,6 +402,15 @@ def q_lsh_ann_emb(spark, sf_dir):
     approximate by design -> rows-only check, recall pytest-pinned."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return A.lsh_cosine_topk(emb, ANN_QUERY, ANN_K, dim=64, n_planes=12, probe_hamming=3)
+
+
+def q_ivf_ann_emb(spark, sf_dir):
+    """IVF-flat ANN: deterministic coarse centroids (lowest-id
+    embeddings) -> inverted cells -> nprobe probe -> cosine top-k.
+    SQL-replayable end to end (centroid set, assignment tiebreak,
+    probe ordering)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.ivf_cosine_topk(emb, ANN_QUERY, ANN_K, n_centroids=16, nprobe=4)
 
 
 def q_media_features(spark, sf_dir):
@@ -518,8 +550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup_events": q_tile_rollup_events,
         "tile_pyramid_events": q_tile_pyramid_events,
         "pip_events": q_pip_events,
+        "pip_join_events": q_pip_join_events,
         "cluster_collapse_docs": q_cluster_collapse_docs,
         "lsh_ann_emb": q_lsh_ann_emb,
+        "ivf_ann_emb": q_ivf_ann_emb,
         "media_features": q_media_features,
         "spatial_join_parts": q_spatial_join_parts,
         "spatial_join_events_parts": q_spatial_join_events_parts,
@@ -726,12 +760,19 @@ def oracle_sql() -> dict[str, str]:
             PIP_POLYGONS,
             "SELECT event_id, value AS x, user_id::DOUBLE AS y FROM events",
         ),
+        "pip_join_events": __import__(
+            "geo_index_spark.operators.pip", fromlist=["point_in_polygon_sql"]
+        ).point_in_polygon_sql(
+            PIP_POLYGONS,
+            "SELECT event_id, value AS x, user_id::DOUBLE AS y FROM events",
+        ),
         "cluster_collapse_docs": D.collapse_near_dup_clusters_sql(
             D.minhash_near_dup_pairs_sql(n=4, num_hashes=16, tau_num=jn, tau_den=jd)
         ),
         "lsh_ann_emb": A.lsh_cosine_topk_sql(
             ANN_QUERY, ANN_K, dim=64, n_planes=12, probe_hamming=3
         ),
+        "ivf_ann_emb": A.ivf_cosine_topk_sql(ANN_QUERY, ANN_K, n_centroids=16, nprobe=4),
     }
 
 

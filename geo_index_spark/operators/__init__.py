@@ -18,4 +18,9 @@ from geo_index_spark.operators.join import distance_join, spatial_join  # noqa: 
 from geo_index_spark.operators.sessions import sessionize  # noqa: F401
 from geo_index_spark.operators.pyramid import tile_pyramid  # noqa: F401
 from geo_index_spark.operators.tiling import tile_assign  # noqa: F401
+from geo_index_spark.operators.pip import (  # noqa: F401
+    point_in_polygon,
+    point_in_polygon_join,
+    zonal_stats,
+)
 from geo_index_spark.operators.validate import drop_invalid, reject_invalid  # noqa: F401

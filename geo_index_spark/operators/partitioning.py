@@ -72,13 +72,26 @@ def hilbert_partition(
     num_partitions: int,
     bounds: tuple[float, float, float, float] | None = None,
     cols: tuple[str, ...] | None = None,
+    persist_key: bool = False,
 ) -> DataFrame:
     """Cluster the table spatially: Hilbert key -> range repartition ->
     sort within partitions. Writing the result to parquet yields files
     whose (minx..maxy) min/max stats are tight, so downstream bbox scans
     prune at the file/row-group level — the distributed equivalent of
-    the reference's node-bbox pruning (src/rtree/trait.rs:143-149)."""
+    the reference's node-bbox pruning (src/rtree/trait.rs:143-149).
+
+    SCAN-COUNT NOTE: ``repartitionByRange`` derives its split points by
+    SAMPLING, which re-executes the upstream plan — the keyed input is
+    computed twice. For a cheap upstream (parquet scan + projection)
+    that's the idiomatic trade and this function leaves it alone. When
+    the upstream is expensive (HTML extraction, a join), pass
+    ``persist_key=True`` to cache the keyed projection so the sampling
+    pass reads the cache instead of recomputing lineage (caller may
+    ``.unpersist()`` the returned frame's source after the final
+    action), or materialize the keyed table yourself first."""
     out = with_hilbert(df, bounds, cols)
+    if persist_key:
+        out = out.persist()
     return out.repartitionByRange(num_partitions, "hilbert").sortWithinPartitions("hilbert")
 
 

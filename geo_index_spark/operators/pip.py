@@ -56,7 +56,12 @@ def point_in_polygon(
     Phase 1 joins points (as degenerate boxes) to polygon bboxes via the
     grid candidate join; phase 2 refines with the ray-cast in an Arrow
     pandas UDF evaluated against broadcast polygon rings.
-    """
+
+    SIZE LIMIT: the rings are collected to the driver and broadcast —
+    right for zone/boundary tables (countries, admin areas, tiles), a
+    real ceiling at millions of polygons or very high vertex counts.
+    Past that, use :func:`point_in_polygon_join`, which keeps the edges
+    distributed (pure-Catalyst crossing-count join, no collect)."""
     from geo_index_spark.operators.join import spatial_join
 
     pts = points.select(
@@ -107,6 +112,100 @@ def point_in_polygon(
 
     return (
         cand.filter(inside(F.col("pg_id"), F.col("px"), F.col("py")))
+        .select(F.col("pt_id").alias(point_id), F.col("pg_id").alias(poly_id))
+    )
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "row_id",
+    poly_id: str = "poly_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    vertices_col: str = "vertices",
+    grid_level: int = 5,
+) -> DataFrame:
+    """Fully distributed variant of :func:`point_in_polygon` — no
+    driver collect, no broadcast, pure Catalyst: the million-polygon /
+    100 TB path.
+
+    The ray cast becomes relational algebra: explode each ring into an
+    EDGE table (posexplode over the vertex array — a generator, no
+    shuffle), equi-join bbox candidates to edges on the polygon id, and
+    keep pairs whose crossing count is odd (one groupBy on the pair
+    key). Same even-odd semantics and the same IEEE expression as
+    ``ray_cast_np`` / the SQL oracle, so all three agree exactly.
+
+    Cost model vs the broadcast variant: one extra shuffle of
+    |candidates| x avg_edges rows. Worth it exactly when the ring set
+    cannot be broadcast."""
+    from geo_index_spark.operators.join import spatial_join
+
+    pts = points.select(
+        F.col(point_id).alias("pt_id"),
+        F.col(x_col).alias("minx"),
+        F.col(y_col).alias("miny"),
+        F.col(x_col).alias("maxx"),
+        F.col(y_col).alias("maxy"),
+    )
+    polys_bb = polygons.select(
+        F.col(poly_id).alias("pg_id"), "minx", "miny", "maxx", "maxy"
+    )
+    cand = spatial_join(
+        pts, polys_bb, left_id="pt_id", right_id="pg_id", grid_level=grid_level
+    ).withColumnsRenamed({"left_id": "pt_id", "right_id": "pg_id"})
+    cand = cand.join(
+        points.select(
+            F.col(point_id).alias("pt_id"),
+            F.col(x_col).alias("px"),
+            F.col(y_col).alias("py"),
+        ),
+        "pt_id",
+    )
+
+    # ring -> edge table; np.roll closure: drop a duplicated closing
+    # vertex, then edge i = (v[i], v[(i+1) % n])
+    v = F.col(vertices_col)
+    ring = F.when(
+        (F.size(v) >= 2) & (F.element_at(v, 1) == F.element_at(v, -1)),
+        F.slice(v, 1, F.size(v) - 1),
+    ).otherwise(v)
+    edges = (
+        polygons.select(F.col(poly_id).alias("pg_id"), ring.alias("r"))
+        .select(
+            "pg_id",
+            F.posexplode(
+                F.zip_with(
+                    F.col("r"),
+                    F.concat(F.slice(F.col("r"), 2, F.size("r") - 1), F.slice(F.col("r"), 1, 1)),
+                    lambda a, b: F.struct(
+                        a[0].alias("x1"), a[1].alias("y1"), b[0].alias("x2"), b[1].alias("y2")
+                    ),
+                )
+            ).alias("i", "e"),
+        )
+        .select(
+            "pg_id",
+            F.col("e.x1").alias("x1"),
+            F.col("e.y1").alias("y1"),
+            F.col("e.x2").alias("x2"),
+            F.col("e.y2").alias("y2"),
+        )
+    )
+
+    x1, y1, x2, y2 = (F.col(c) for c in ("x1", "y1", "x2", "y2"))
+    px, py = F.col("px"), F.col("py")
+    # same crossing test + expression order as ray_cast_np
+    xin = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+    crossing = F.when(
+        ((y1 > py) != (y2 > py)) & (px < xin), F.lit(1)
+    ).otherwise(F.lit(0))
+    joined = cand.join(edges, "pg_id")
+    return (
+        joined.groupBy("pt_id", "pg_id")
+        .agg(F.sum(crossing).alias("c"))
+        .filter(F.col("c") % 2 == 1)
         .select(F.col("pt_id").alias(point_id), F.col("pg_id").alias(poly_id))
     )
 

@@ -23,4 +23,10 @@ from geo_index_spark.textops.quality import (  # noqa: F401
     quality_score,
     token_count,
 )
-from geo_index_spark.textops.ann import cosine_topk, lsh_cosine_topk  # noqa: F401
+from geo_index_spark.textops.ann import (  # noqa: F401
+    cosine_near_dup_pairs,
+    cosine_topk,
+    cosine_topk_fast,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)

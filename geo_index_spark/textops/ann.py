@@ -184,6 +184,108 @@ def lsh_cosine_topk(
     return cosine_topk(cand, [float(v) for v in q], k, id_col, vec_col)
 
 
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: assign every vector to its nearest coarse centroid
+    (inverted lists), probe only the ``nprobe`` cells nearest the query,
+    brute-force cosine inside them. The centroid set is the
+    ``n_centroids`` lowest-id embeddings — a deterministic,
+    SQL-replayable coarse quantizer (production swaps in k-means
+    centroids; the query path is identical). Assignment tiebreak:
+    (cosine desc, centroid id asc).
+
+    Plan: centroids broadcast (tiny) -> cross join + window argmax for
+    assignment -> semi-join on probed cells -> TakeOrdered top-k. At
+    100 TB the assignment is computed ONCE at ingest and stored as a
+    partition column (cell-partitioned parquet), making a query a
+    partition-pruned scan of nprobe cells; the pandas_udf matmul
+    (cosine_topk_fast) is the assignment kernel at that scale."""
+    from pyspark.sql import Window
+
+    v = F.col(vec_col)
+    cents = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(int(n_centroids))
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+    cos_c = _dot(v, F.col("cvec")) / (_norm(v) * _norm(F.col("cvec")))
+    w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("cent_id").asc())
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("_cs", cos_c)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+    )
+    q = [float(x) for x in query_vec]
+    qn = float(np.sqrt(sum(x * x for x in q)))
+    qcol = F.array(*[F.lit(x) for x in q])
+    qcos = _dot(F.col("cvec"), qcol) / (_norm(F.col("cvec")) * F.lit(qn))
+    probes = (
+        cents.withColumn("_qs", qcos)
+        .orderBy(F.col("_qs").desc(), F.col("cent_id").asc())
+        .limit(int(nprobe))
+        .select(F.col("cent_id").alias("cell"))
+    )
+    cand = assigned.join(F.broadcast(probes), "cell", "left_semi")
+    return cosine_topk(cand, q, k, id_col, vec_col)
+
+
+def ivf_cosine_topk_sql(
+    query_vec: list[float],
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of :func:`ivf_cosine_topk` — same deterministic
+    centroid set (lowest ids), same (cos desc, cent_id asc) assignment
+    and probe ordering, same cosine expression, so parity is exact."""
+    q = [float(x) for x in query_vec]
+    qn = float(np.sqrt(sum(x * x for x in q)))
+    qlit = "[" + ", ".join(repr(x) for x in q) + "]::DOUBLE[]"
+    return f"""
+    WITH vecs AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+    cents AS (
+      SELECT id AS cent_id, v AS cvec FROM vecs ORDER BY id ASC LIMIT {int(n_centroids)}
+    ),
+    assigned AS (
+      SELECT id, v, cent_id AS cell FROM (
+        SELECT x.id, x.v, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY x.id
+                 ORDER BY list_dot_product(x.v, c.cvec)
+                          / (sqrt(list_dot_product(x.v, x.v))
+                             * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                          c.cent_id ASC
+               ) AS rn
+        FROM vecs x CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT cent_id AS cell FROM cents
+      ORDER BY list_dot_product(cvec, {qlit})
+               / (sqrt(list_dot_product(cvec, cvec)) * {qn!r}) DESC,
+               cent_id ASC
+      LIMIT {int(nprobe)}
+    ),
+    cand AS (SELECT a.id, a.v FROM assigned a JOIN probes p ON a.cell = p.cell)
+    SELECT id,
+           round(list_dot_product(v, {qlit})
+                 / (sqrt(list_dot_product(v, v)) * {qn!r}), 6) AS score
+    FROM cand ORDER BY score DESC, id ASC LIMIT {int(k)}
+    """
+
+
 def lsh_cosine_topk_sql(
     query_vec: list[float],
     k: int,

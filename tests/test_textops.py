@@ -197,3 +197,28 @@ def test_simhash64_pairs_banding_complete(spark, docs_real):
             brute.add((int(ids[i]), int(ids[j])))
     banded = {(r.a_id, r.b_id) for r in D.simhash64_pairs(docs_real, max_hamming=3).collect()}
     assert banded == brute
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """With nprobe == n_centroids every cell is probed, so IVF must
+    return exactly the brute-force top-k."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [round(float(v), 4) for v in np.random.default_rng(0).standard_normal(64)]
+    brute = [(r.id, r.score) for r in A.cosine_topk(emb, q, 25).collect()]
+    ivf = [(r.id, r.score) for r in A.ivf_cosine_topk(emb, q, 25, n_centroids=8, nprobe=8).collect()]
+    assert ivf == brute
+
+
+def test_ivf_partial_probe_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [round(float(v), 4) for v in np.random.default_rng(0).standard_normal(64)]
+    brute = {r.id for r in A.cosine_topk(emb, q, 25).collect()}
+    ivf = [r.id for r in A.ivf_cosine_topk(emb, q, 25, n_centroids=16, nprobe=4).collect()]
+    assert len(ivf) == 25
+    # random gaussian embeddings are the worst case for IVF (no cluster
+    # structure to exploit) — require non-trivial recall plus strict
+    # improvement over a narrower probe
+    r4 = len(set(ivf) & brute)
+    ivf1 = {r.id for r in A.ivf_cosine_topk(emb, q, 25, n_centroids=16, nprobe=1).collect()}
+    assert r4 >= 5
+    assert r4 >= len(ivf1 & brute)

@@ -148,3 +148,33 @@ def test_tile_assignment_frozen_golden(spark):
             .count()
         )
         assert bad == 0
+
+
+def test_pip_join_variant_matches_broadcast(spark):
+    """point_in_polygon_join (distributed edge join, no broadcast) must
+    produce the identical pair set as the broadcast ray-cast refine."""
+    import numpy as np
+    from geo_index_spark.operators.pip import point_in_polygon, point_in_polygon_join
+
+    rng = np.random.default_rng(5)
+    pts = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 100, (400, 2)))],
+        "row_id long, x double, y double",
+    )
+    polys_raw = [
+        (0, [[10.0, 10.0], [50.0, 5.0], [60.0, 45.0], [25.0, 55.0]]),
+        (1, [[40.0, 40.0], [90.0, 35.0], [85.0, 90.0], [55.0, 80.0], [45.0, 95.0]]),  # non-convex
+        (2, [[0.0, 60.0], [30.0, 60.0], [30.0, 99.0], [0.0, 99.0], [0.0, 60.0]]),  # closed ring
+    ]
+    rows = []
+    for pid, ring in polys_raw:
+        xs, ys = [p[0] for p in ring], [p[1] for p in ring]
+        rows.append((pid, ring, min(xs), min(ys), max(xs), max(ys)))
+    polys = spark.createDataFrame(
+        rows,
+        "poly_id long, vertices array<array<double>>, minx double, miny double,"
+        " maxx double, maxy double",
+    )
+    bc = {(r.row_id, r.poly_id) for r in point_in_polygon(pts, polys, grid_level=4).collect()}
+    dj = {(r.row_id, r.poly_id) for r in point_in_polygon_join(pts, polys, grid_level=4).collect()}
+    assert dj == bc and len(bc) > 50

@@ -66,7 +66,7 @@ def _events_boxes(spark, half=0.5):
 # the synth workload definition (eps / grid_level / bounds / generator)
 # is SHARED with scripts/scaling_bench.py via geo_index_spark.benchwork,
 # so BENCH_r*.json and BENCH/BASELINE.md always measure the same job
-N_SYNTH = int(os.environ.get("SPARK_GRAFT_SYNTH_ROWS", "8000000"))
+N_SYNTH = int(os.environ.get("SPARK_GRAFT_SYNTH_ROWS", "16000000"))
 SYNTH_REPS = int(os.environ.get("SPARK_GRAFT_SYNTH_REPS", "3"))
 
 
@@ -75,7 +75,7 @@ def main() -> None:
     spark = get_spark(
         "bench",
         master=f"local[{CPUS}]",
-        shuffle_partitions=max(CPUS * 4, 32),
+        shuffle_partitions=max(CPUS * 8, 32),  # matches scaling_bench.py
         extra_conf=BENCH_CONF,
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -160,10 +160,13 @@ def main() -> None:
         lambda: D.minhash_near_dup_pairs_fast(docs, n=4, num_hashes=16, tau_num=1, tau_den=2).count(),
     )
 
-    # 8b. HEADLINE: web-scale synthetic join + hilbert build (8M rows,
-    # skewed) — the SAME workload as the scaling evidence run
-    # (benchwork: eps=1e-4, grid_level=18), min-of-N per the noisy-host
-    # protocol (virtio disk + CPU weather swing individual runs 2x+)
+    # 8b. HEADLINE: web-scale synthetic join + hilbert build — the SAME
+    # workload as the scaling evidence run (benchwork: eps=1e-4,
+    # grid_level=18), min-of-N per the noisy-host protocol (virtio disk
+    # + CPU weather swing individual runs 2x+). Drop the minhash
+    # shingle caches first so the headline runs with the same memory
+    # headroom as the evidence run's fresh session.
+    spark.catalog.clearCache()
     sb, sp = synth_boxes(spark, N_SYNTH)
     sb = sb.persist()
     sb.count()

@@ -11,6 +11,14 @@ CPU speed swings ~2.5x between runs hours apart, so every benchmark
 JSON carries ``cpu_calib_sec`` (a fixed pure-Python xorshift loop) and
 ``cpu_factor`` (vs the recorded solo-run reference) — divide a
 throughput by ``cpu_factor`` to normalize for host weather.
+
+Known residual, measured: at the same eps/grid/conf the 64M-row
+evidence run reports ~1.5-2x higher input rows/s than bench.py's 16M
+default — per-task amortization (250k vs 62k boxes per task across
+256 shuffle partitions) plus host variance (back-to-back identical
+16M runs swing 10.4-13.3s). Compare BENCH_r*.json round-over-round at
+equal synth_rows; compare against BENCH/BASELINE.md only via the
+normalized field and with this offset in mind.
 """
 
 from __future__ import annotations

@@ -18,6 +18,7 @@ scan into a pushed-down bbox filter first.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -165,6 +166,21 @@ def geom_distance_col(x: Column, y: Column, vertices: list[list[float]], geom_ty
     return d
 
 
+MAX_CODEGEN_EDGES = 64
+
+
+def _geom_dist_arrow(vertices: list[list[float]], geom_type: str):
+    """Arrow-batched exact distance (pandas_udf over point_to_geom_np)
+    for geometries too large to inline as one codegen expression."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def dist(px: pd.Series, py: pd.Series) -> pd.Series:
+        return pd.Series(point_to_geom_np(px.to_numpy(), py.to_numpy(), vertices, geom_type))
+
+    return dist
+
+
 def knn_geometry(
     df: DataFrame,
     vertices: list[list[float]],
@@ -185,7 +201,10 @@ def knn_geometry(
     bound <= exact, so (2) ``filter(lb <= D)`` is a complete candidate
     set — the exact distance is then computed only on candidates and
     merged with the same (dist, id) tiebreak. Both phases are pure
-    Catalyst for literal geometries."""
+    Catalyst for geometries up to ``MAX_CODEGEN_EDGES`` edges; larger
+    geometries switch the exact distance to the Arrow-batched numpy
+    kernel (same formula, so results agree to IEEE-double exactness —
+    pytest-pinned), while the lower-bound prune stays Catalyst."""
     x, y = (F.col(c) for c in cols)
     gb = geom_bounds(vertices)
     # bbox lower bound: geometry is inside its bbox, so
@@ -194,7 +213,10 @@ def knn_geometry(
     ddx = F.greatest(F.lit(0.0), F.greatest(F.lit(gb[0]) - x, x - F.lit(gb[2])))
     ddy = F.greatest(F.lit(0.0), F.greatest(F.lit(gb[1]) - y, y - F.lit(gb[3])))
     lb = F.sqrt(ddx * ddx + ddy * ddy)
-    exact = geom_distance_col(x, y, vertices, geom_type)
+    if len(_geom_edges(vertices, geom_type)) <= MAX_CODEGEN_EDGES:
+        exact = geom_distance_col(x, y, vertices, geom_type)
+    else:
+        exact = _geom_dist_arrow(vertices, geom_type)(x, y)
     out = df
     if two_phase:
         seeds = (

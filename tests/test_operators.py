@@ -299,3 +299,36 @@ class TestKnnGeometry:
             for r in knn_geometry(df, self.PLINE, 25, max_distance=5.0).collect()
         ]
         assert got == self._brute(df, self.PLINE, "polyline", 25, max_distance=5.0)
+
+    def test_large_geometry_arrow_path(self, spark):
+        """>MAX_CODEGEN_EDGES vertices switch the exact distance to the
+        Arrow numpy kernel; results must equal the Catalyst expression
+        path exactly (same formula, same IEEE doubles)."""
+        import importlib
+        import math
+        from geo_index_spark.fixtures import kdbush_df
+
+        # the knn FUNCTION shadows the knn module on the package
+        K = importlib.import_module("geo_index_spark.operators.knn")
+
+        df = kdbush_df(spark)
+        # 100-vertex polyline spiral (forces the Arrow path)
+        big = [
+            [50.0 + 0.4 * i * math.cos(i / 6.0), 50.0 + 0.4 * i * math.sin(i / 6.0)]
+            for i in range(100)
+        ]
+        assert len(K._geom_edges(big, "polyline")) > K.MAX_CODEGEN_EDGES
+        arrow = [
+            (r.row_id, round(r.dist, 9))
+            for r in K.knn_geometry(df, big, 25, geom_type="polyline").collect()
+        ]
+        old = K.MAX_CODEGEN_EDGES
+        try:
+            K.MAX_CODEGEN_EDGES = 10_000  # force the Catalyst path
+            catalyst = [
+                (r.row_id, round(r.dist, 9))
+                for r in K.knn_geometry(df, big, 25, geom_type="polyline").collect()
+            ]
+        finally:
+            K.MAX_CODEGEN_EDGES = old
+        assert arrow == catalyst == self._brute(df, big, "polyline", 25)

@@ -205,6 +205,23 @@ def q_knn_boxes_parts(spark, sf_dir):
     return out.select("row_id", F.round(F.col("dist"), 6).alias("dist_r"))
 
 
+def q_knn_join_parts_events(spark, sf_dir):
+    """Exact distributed kNN JOIN: for every part box center, its 3
+    nearest event points — certified-radius doubling rounds
+    (operators/knn.py::knn_join); oracle is the brute-force cross join
+    + window."""
+    from geo_index_spark.operators.knn import knn_join
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("row_id"),
+        (F.col("p_size").cast("double") + F.lit(1.5)).alias("x"),
+        (F.col("p_retailprice") / 10.0 + F.lit(1.5)).alias("y"),
+    )
+    ev = _events_pts(spark, sf_dir).withColumnRenamed("event_id", "row_id")
+    out = knn_join(p, ev, 3)
+    return out.select("left_id", "right_id", F.round(F.col("dist"), 6).alias("dist_r"))
+
+
 KNN_POLYLINE = [[50.0, 10.0], [150.0, 90.0], [300.0, 40.0], [450.0, 120.0]]
 KNN_POLYGON = PIP_POLY0 = [[50.0, 10.0], [150.0, 25.0], [180.0, 80.0], [90.0, 120.0], [20.0, 70.0]]
 
@@ -558,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_parts": q_spatial_join_parts,
         "spatial_join_events_parts": q_spatial_join_events_parts,
         "knn_boxes_parts": q_knn_boxes_parts,
+        "knn_join_parts_events": q_knn_join_parts_events,
         "knn_geometry_events": q_knn_geometry_events,
         "knn_polygon_events": q_knn_polygon_events,
         "indexed_bbox_events": q_indexed_bbox_events,
@@ -685,6 +703,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE x >= 210 AND x <= 290 AND y >= 35 AND y <= 115
               AND (x - 250.0)*(x - 250.0) + (y - 75.0)*(y - 75.0) <= 1600.0
         """,
+        "knn_join_parts_events": __import__(
+            "geo_index_spark.operators.knn", fromlist=["knn_join_sql"]
+        ).knn_join_sql(
+            3,
+            "SELECT p_partkey AS id, p_size::DOUBLE + 1.5 AS x,"
+            " p_retailprice / 10.0 + 1.5 AS y FROM part",
+            "SELECT event_id AS id, value AS x, user_id::DOUBLE AS y FROM events",
+        ),
         "knn_geometry_events": __import__(
             "geo_index_spark.operators.knn", fromlist=["knn_geometry_sql"]
         ).knn_geometry_sql(

@@ -13,7 +13,12 @@ from geo_index_spark.operators.partitioning import (  # noqa: F401
     boxes_at_level,
 )
 from geo_index_spark.operators.search import bbox_search, kd_range, within  # noqa: F401
-from geo_index_spark.operators.knn import knn, knn_boxes, knn_geometry  # noqa: F401
+from geo_index_spark.operators.knn import (  # noqa: F401
+    knn,
+    knn_boxes,
+    knn_geometry,
+    knn_join,
+)
 from geo_index_spark.operators.join import distance_join, spatial_join  # noqa: F401
 from geo_index_spark.operators.sessions import sessionize  # noqa: F401
 from geo_index_spark.operators.pyramid import tile_pyramid  # noqa: F401

@@ -332,3 +332,44 @@ class TestKnnGeometry:
         finally:
             K.MAX_CODEGEN_EDGES = old
         assert arrow == catalyst == self._brute(df, big, "polyline", 25)
+
+
+class TestKnnJoin:
+    """Exact distributed kNN join vs brute force."""
+
+    def _brute(self, lrows, rrows, k):
+        import numpy as np
+
+        out = []
+        for lid, lx, ly in lrows:
+            ds = sorted(
+                (round(float(np.hypot(lx - rx, ly - ry)), 9), rid)
+                for rid, rx, ry in rrows
+            )
+            out.extend((lid, rid, d) for d, rid in ds[:k])
+        return sorted(out)
+
+    def test_matches_bruteforce(self, spark):
+        import numpy as np
+        from geo_index_spark.operators.knn import knn_join
+
+        rng = np.random.default_rng(9)
+        # clustered right side + far-away void lefts (forces multi-round)
+        rpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.normal(50, 5, (300, 2)))]
+        lpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 100, (80, 2)))]
+        lpts += [(1000, 0.5, 0.5), (1001, 99.5, 99.5)]  # deep voids
+        ldf = spark.createDataFrame(lpts, "row_id long, x double, y double")
+        rdf = spark.createDataFrame(rpts, "row_id long, x double, y double")
+        got = sorted(
+            (r.left_id, r.right_id, round(r.dist, 9))
+            for r in knn_join(ldf, rdf, 5).collect()
+        )
+        assert got == self._brute(lpts, rpts, 5)
+
+    def test_k_exceeds_right_count(self, spark):
+        from geo_index_spark.operators.knn import knn_join
+
+        ldf = spark.createDataFrame([(1, 0.0, 0.0), (2, 9.0, 9.0)], "row_id long, x double, y double")
+        rdf = spark.createDataFrame([(7, 1.0, 1.0), (8, 2.0, 2.0)], "row_id long, x double, y double")
+        got = sorted((r.left_id, r.right_id) for r in knn_join(ldf, rdf, 5).collect())
+        assert got == [(1, 7), (1, 8), (2, 7), (2, 8)]

@@ -310,6 +310,24 @@ def q_distance_join_events(spark, sf_dir):
     return distance_join(pts, pts, 1.5)
 
 
+def q_haversine_join_events(spark, sf_dir):
+    """Meters-radius distance join over geo-mapped events (lon/lat):
+    per-row degree-box candidate expansion (lat-dependent dlon) + exact
+    haversine residual. Left restricted to event_id % 20 == 0 to keep
+    the brute-force oracle tractable."""
+    from geo_index_spark.operators.join import distance_join
+
+    geo = _events_pts(spark, sf_dir).select(
+        "event_id",
+        (F.col("x") * 0.5 - 122.5).alias("x"),
+        (F.col("y") * 0.8 - 60.0).alias("y"),
+    )
+    left = geo.filter(F.col("event_id") % 20 == 0)
+    return distance_join(
+        left, geo, 200_000.0, left_id="event_id", right_id="event_id", metric="haversine"
+    )
+
+
 def q_zonal_stats_rect(spark, sf_dir):
     """North rule: zonal stats of points over rectangular zones (bbox
     containment is exact for rects — the raster/vector zonal shape)."""
@@ -582,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_kd_bbox_events": q_indexed_kd_bbox_events,
         "indexed_kd_within_events": q_indexed_kd_within_events,
         "distance_join_events": q_distance_join_events,
+        "haversine_join_events": q_haversine_join_events,
         "zonal_stats_rect": q_zonal_stats_rect,
         "sessionize_events": q_sessionize_events,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -729,6 +748,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.event_id AS left_id, b.event_id AS right_id
             FROM {_EV_PTS} a, {_EV_PTS} b
             WHERE (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 2.25
+        """,
+        "haversine_join_events": f"""
+            WITH g AS (SELECT event_id, x*0.5 - 122.5 AS x, y*0.8 - 60.0 AS y FROM {_EV_PTS}),
+            l AS (SELECT * FROM g WHERE event_id % 20 = 0)
+            SELECT l.event_id AS left_id, g.event_id AS right_id
+            FROM l, g
+            WHERE 2.0 * 6378137.0 * asin(sqrt(least(1.0,
+                    pow(sin(radians(g.y - l.y)/2), 2)
+                    + cos(radians(l.y)) * cos(radians(g.y)) * pow(sin(radians(g.x - l.x)/2), 2)
+                  ))) <= 200000.0
         """,
         "zonal_stats_rect": f"""
             SELECT zone_id, count(*) AS n, round(sum(x), 4) AS sum_x

@@ -212,11 +212,26 @@ def distance_join(
 ) -> DataFrame:
     """All point pairs within ``radius`` (inclusive, <=) — the two-phase
     candidate->refine composition: grid candidate join on +-radius
-    boxes, then the exact distance predicate as a codegen'd residual
-    (euclidean) — the distributed form of the reference's
-    within-on-every-point (src/kdtree/trait.rs:118-174)."""
-    if metric != "euclidean":
-        raise ValueError("distance_join currently supports euclidean only")
+    boxes, then the exact distance predicate as a codegen'd residual —
+    the distributed form of the reference's within-on-every-point
+    (src/kdtree/trait.rs:118-174).
+
+    ``metric="haversine"``: radius in METERS over (lon, lat) degrees
+    (WGS84 sphere R=6378137, reference src/rtree/distance.rs:84-114).
+    Candidate boxes use a provably-containing degree expansion:
+    dlat = theta (the central angle r/R) directly, and
+    dlon = 2*asin(sin(theta/2) / sqrt(cos(lat) * cos(|lat|+theta)))
+    from the haversine identity with the band's minimum cos — widening
+    to the full lon range when the band reaches a pole. No antimeridian
+    wrap: boxes are clamped at +-180, so pairs straddling the dateline
+    are not returned (documented limit; wrap = union of two joins)."""
+    if metric not in ("euclidean", "haversine"):
+        raise ValueError(f"metric must be euclidean|haversine, got {metric!r}")
+    if metric == "haversine":
+        return _haversine_distance_join(
+            left, right, float(radius), left_id, right_id, left_cols, right_cols,
+            bounds, grid_level,
+        )
     r = float(radius)
     lx, ly = left_cols
     rx, ry = right_cols
@@ -251,3 +266,79 @@ def distance_join(
     dx = F.col("l_px") - F.col("r_px")
     dy = F.col("l_py") - F.col("r_py")
     return cand.filter(dx * dx + dy * dy <= F.lit(r * r)).select("left_id", "right_id")
+
+
+def haversine_pair_col(lx: Column, ly: Column, rx: Column, ry: Column) -> Column:
+    """Great-circle meters between two column points (lon, lat degrees);
+    same formula and term order as the knn haversine oracle SQL, so the
+    inclusive <= boundary agrees across engines."""
+    h = (
+        F.pow(F.sin(F.radians(ry - ly) / 2), 2)
+        + F.cos(F.radians(ly)) * F.cos(F.radians(ry)) * F.pow(F.sin(F.radians(rx - lx) / 2), 2)
+    )
+    return F.lit(2.0 * 6378137.0) * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
+
+
+def _haversine_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    left_id: str,
+    right_id: str,
+    left_cols: tuple[str, str],
+    right_cols: tuple[str, str],
+    bounds: tuple[float, float, float, float] | None,
+    grid_level: int | None,
+) -> DataFrame:
+    import math
+
+    R = 6378137.0
+    theta = radius_m / R  # central angle, radians
+    dlat_deg = math.degrees(theta)
+    lx, ly = left_cols
+    rx, ry = right_cols
+    lat = F.col(ly)
+    # completeness: any point within haversine r satisfies
+    # |dlat| <= theta, and sin^2(theta/2) >= cos(lat0)cos(lat)sin^2(dlon/2)
+    # with cos(lat) >= cos(|lat0| + theta) inside the lat band; a band
+    # touching a pole widens to the full lon range
+    denom = F.cos(F.radians(lat)) * F.cos(
+        F.least(F.lit(math.pi / 2), F.abs(F.radians(lat)) + F.lit(theta))
+    )
+    dlon_deg = F.when(
+        (F.abs(lat) + F.lit(dlat_deg) >= 90.0) | (denom <= F.lit(0.0)),
+        F.lit(180.0),
+    ).otherwise(
+        F.degrees(
+            2.0
+            * F.asin(F.least(F.lit(1.0), F.lit(math.sin(theta / 2.0)) / F.sqrt(denom)))
+        )
+    )
+    lb = left.select(
+        F.col(left_id).alias("row_id"),
+        F.greatest(F.lit(-180.0), F.col(lx) - dlon_deg).alias("minx"),
+        (F.col(ly) - F.lit(dlat_deg)).alias("miny"),
+        F.least(F.lit(180.0), F.col(lx) + dlon_deg).alias("maxx"),
+        (F.col(ly) + F.lit(dlat_deg)).alias("maxy"),
+        F.col(lx).alias("px"),
+        F.col(ly).alias("py"),
+    )
+    rb = right.select(
+        F.col(right_id).alias("row_id"),
+        F.col(rx).alias("minx"),
+        F.col(ry).alias("miny"),
+        F.col(rx).alias("maxx"),
+        F.col(ry).alias("maxy"),
+        F.col(rx).alias("px"),
+        F.col(ry).alias("py"),
+    )
+    cand = spatial_join(
+        lb,
+        rb,
+        bounds=bounds,
+        grid_level=grid_level,
+        keep_left=("px", "py"),
+        keep_right=("px", "py"),
+    )
+    d = haversine_pair_col(F.col("l_px"), F.col("l_py"), F.col("r_px"), F.col("r_py"))
+    return cand.filter(d <= F.lit(float(radius_m))).select("left_id", "right_id")

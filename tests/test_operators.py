@@ -373,3 +373,34 @@ class TestKnnJoin:
         rdf = spark.createDataFrame([(7, 1.0, 1.0), (8, 2.0, 2.0)], "row_id long, x double, y double")
         got = sorted((r.left_id, r.right_id) for r in knn_join(ldf, rdf, 5).collect())
         assert got == [(1, 7), (1, 8), (2, 7), (2, 8)]
+
+
+def test_haversine_distance_join_oracle(spark):
+    """Meters-radius pairs over (lon, lat): candidate degree-box
+    expansion must be complete (incl. high-latitude clusters where
+    dlon widens) — parity vs the DuckDB exact cross join."""
+    import numpy as np
+    from geo_index_spark.operators.join import distance_join
+
+    rng = np.random.default_rng(3)
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        np.column_stack([rng.uniform(-10, 10, 150), rng.uniform(40, 60, 150)])
+    )]
+    # high-latitude cluster: dlon expansion is much wider than dlat
+    pts += [(1000 + i, float(x), float(y)) for i, (x, y) in enumerate(
+        np.column_stack([rng.uniform(-30, 30, 60), rng.uniform(84.0, 89.5, 60)])
+    )]
+    df = spark.createDataFrame(pts, "row_id long, x double, y double")
+    got = {(r.left_id, r.right_id) for r in distance_join(df, df, 300_000.0, metric="haversine").collect()}
+    con = duckdb.connect()
+    con.register("p", df.toPandas())
+    want = set(
+        con.sql(
+            """SELECT a.row_id, b.row_id FROM p a, p b
+               WHERE 2.0 * 6378137.0 * asin(sqrt(least(1.0,
+                 pow(sin(radians(b.y - a.y)/2),2)
+                 + cos(radians(a.y))*cos(radians(b.y))*pow(sin(radians(b.x - a.x)/2),2)
+               ))) <= 300000.0"""
+        ).fetchall()
+    )
+    assert got == want and len(got) > len(pts)

@@ -26,9 +26,11 @@ from pyspark.sql import functions as F
 
 from geo_index_spark.benchwork import (
     BENCH_CONF,
+    CALIB_MT_REF_SEC,
     CALIB_REF_SEC,
     SYNTH_BOUNDS,
     SYNTH_GRID_LEVEL,
+    cpu_calibration_mt_sec,
     cpu_calibration_sec,
     synth_boxes,
 )
@@ -167,6 +169,10 @@ def main() -> None:
     # shingle caches first so the headline runs with the same memory
     # headroom as the evidence run's fresh session.
     spark.catalog.clearCache()
+    # multicore weather probe ADJACENT to the stages it normalizes —
+    # contention moves on minute timescales, a session-start reading
+    # would be stale by now
+    calib_mt = cpu_calibration_mt_sec()
     sb, sp = synth_boxes(spark, N_SYNTH)
     sb = sb.persist()
     sb.count()
@@ -216,8 +222,12 @@ def main() -> None:
     # than the evidence-run host)
     extras["cpu_calib_sec"] = round(calib, 4)
     extras["cpu_factor"] = round(calib / CALIB_REF_SEC, 3)
+    # the MULTICORE factor is the one that tracks the dense 32-way synth
+    # stages — host steal slows them 2-3x while 1-thread work is flat
+    extras["cpu_calib_mt_sec"] = round(calib_mt, 4)
+    extras["cpu_factor_mt"] = round(calib_mt / CALIB_MT_REF_SEC, 3)
     extras["synth_join_mrows_per_sec_normalized"] = round(
-        extras["synth_join_input_mrows_per_sec"] * extras["cpu_factor"], 3
+        extras["synth_join_input_mrows_per_sec"] * extras["cpu_factor_mt"], 3
     )
 
     total = round(sum(timings.values()), 4)

@@ -12,13 +12,16 @@ JSON carries ``cpu_calib_sec`` (a fixed pure-Python xorshift loop) and
 ``cpu_factor`` (vs the recorded solo-run reference) — divide a
 throughput by ``cpu_factor`` to normalize for host weather.
 
-Known residual, measured: at the same eps/grid/conf the 64M-row
-evidence run reports ~1.5-2x higher input rows/s than bench.py's 16M
-default — per-task amortization (250k vs 62k boxes per task across
-256 shuffle partitions) plus host variance (back-to-back identical
-16M runs swing 10.4-13.3s). Compare BENCH_r*.json round-over-round at
-equal synth_rows; compare against BENCH/BASELINE.md only via the
-normalized field and with this offset in mind.
+Measured weather magnitude (identical 16M workload, same code, runs
+minutes apart): raw join throughput spanned 1.07-5.78 M rows/s; the
+single-thread factor stayed ~1.0-1.3 throughout, i.e. the swing is
+multicore steal/bandwidth, which is why the MULTICORE probe exists and
+runs adjacent to the synth stages with the same min-of-3 statistic.
+In a good window bench.py's 16M default matches the 64M evidence run's
+raw throughput (5.78 vs 5.67 M rows/s). Normalized values are
+indicative, not precise — the probe and the stage can land in
+different weather within one run. Compare BENCH_r*.json
+round-over-round at equal synth_rows, prefer raw value + both factors.
 """
 
 from __future__ import annotations
@@ -47,6 +50,47 @@ BENCH_CONF = {
 # > 1 means the current host is running slower than the evidence host
 CALIB_REF_SEC = 0.52
 _CALIB_ITERS = 2_000_000
+
+
+# multicore reference (16 procs x xorshift) measured on the evidence
+# host; the single-thread probe misses multicore steal — dense 32-way
+# stages (the synth join/build) slow down 2-3x while 1-thread work is
+# unaffected, so BOTH factors are reported
+CALIB_MT_REF_SEC = 0.50  # min-of-3, includes Pool startup
+_CALIB_MT_PROCS = 16
+
+
+def _mt_probe_work(_seed: int) -> float:
+    """Per-process mixed workload: numpy streaming (memory bandwidth)
+    + a short xorshift burst (scalar CPU) — the two resources a Spark
+    shuffle stage actually contends on."""
+    import numpy as np
+
+    a = np.arange(8_000_000, dtype=np.float64)  # 64 MB
+    s = 0.0
+    for _ in range(4):
+        a = a * 1.000001 + 0.5
+        s += float(a[::4096].sum())
+    s += cpu_calibration_sec(_CALIB_ITERS // 4)
+    return s
+
+
+def cpu_calibration_mt_sec(procs: int = _CALIB_MT_PROCS, reps: int = 3) -> float:
+    """Multicore probe: ``procs`` processes each streaming 64 MB of
+    numpy work + a scalar burst; wall time rises with the host
+    steal/bandwidth contention that only dense parallel stages feel.
+    Min-of-``reps`` — the SAME statistic as the bench stages it
+    normalizes (back-to-back probe runs swing 1.6-22s on this host)."""
+    import multiprocessing as mp
+
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as pool:
+            pool.map(_mt_probe_work, range(procs))
+        t = time.perf_counter() - t0
+        best = t if best is None else min(best, t)
+    return best
 
 
 def cpu_calibration_sec(iters: int = _CALIB_ITERS) -> float:

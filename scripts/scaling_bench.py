@@ -20,7 +20,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from geo_index_spark.benchwork import CALIB_REF_SEC, SYNTH_EPS, cpu_calibration_sec
+from geo_index_spark.benchwork import (
+    CALIB_MT_REF_SEC,
+    CALIB_REF_SEC,
+    SYNTH_EPS,
+    cpu_calibration_mt_sec,
+    cpu_calibration_sec,
+)
 
 N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000_000
 EPS = SYNTH_EPS  # shared with bench.py via geo_index_spark.benchwork
@@ -92,6 +98,7 @@ def run(cpus: int) -> dict:
 
 def main():
     calib = cpu_calibration_sec()
+    calib_mt = cpu_calibration_mt_sec()
     r8 = run(8)
     r32 = run(32)
     eff_join = r32["join_rows_per_sec"] / (4 * r8["join_rows_per_sec"])
@@ -104,6 +111,8 @@ def main():
         "scaling_efficiency_build": round(eff_build, 3),
         "cpu_calib_sec": round(calib, 4),
         "cpu_factor": round(calib / CALIB_REF_SEC, 3),
+        "cpu_calib_mt_sec": round(calib_mt, 4),
+        "cpu_factor_mt": round(calib_mt / CALIB_MT_REF_SEC, 3),
     }
     print(json.dumps(report))
     bench_dir = Path(__file__).resolve().parents[1] / "BENCH"
@@ -125,8 +134,12 @@ measure this same job (bench.py default: 8M rows, min-of-3).
 
 Host-weather calibration: single-thread xorshift probe
 {calib:.3f}s vs reference {CALIB_REF_SEC}s -> cpu_factor
-{calib / CALIB_REF_SEC:.3f} (divide a throughput by cpu_factor to
-normalize across hosts/hours; the sandbox host swings ~2.5x).
+{calib / CALIB_REF_SEC:.3f}; MULTICORE probe (16 procs)
+{calib_mt:.3f}s vs {CALIB_MT_REF_SEC}s -> cpu_factor_mt
+{calib_mt / CALIB_MT_REF_SEC:.3f}. The multicore factor is the one
+that tracks dense 32-way stages — host steal slows them 2-3x while
+single-thread work stays flat (measured: identical 16M synth joins
+13s vs 30s with st-factor ~1.1 both times).
 
 | metric | local[8] | local[32] | efficiency (32 vs 4x8) |
 |---|---|---|---|

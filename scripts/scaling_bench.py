@@ -130,7 +130,7 @@ self-joined on +-{EPS} deg boxes via the grid candidate join
 shuffle dir — measured local-mode config), plus the Hilbert build (key + range shuffle +
 sort, noop sink). The workload definition is SHARED with bench.py
 (geo_index_spark/benchwork.py), so BENCH_r*.json headline throughputs
-measure this same job (bench.py default: 8M rows, min-of-3).
+measure this same job (bench.py default: 16M rows, min-of-3).
 
 Host-weather calibration: single-thread xorshift probe
 {calib:.3f}s vs reference {CALIB_REF_SEC}s -> cpu_factor

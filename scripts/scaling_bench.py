@@ -37,10 +37,11 @@ from geo_index_spark.session import get_spark
 from geo_index_spark.operators import spatial_join
 from geo_index_spark.operators.partitioning import hilbert_partition
 from geo_index_spark.benchwork import (
-    BENCH_CONF, SYNTH_BOUNDS, SYNTH_GRID_LEVEL, synth_boxes,
+    BENCH_CONF, SYNTH_BOUNDS, SYNTH_GRID_LEVEL, cpu_calibration_mt_sec, synth_boxes,
 )
 
 cpus = int(sys.argv[1]); n = int(sys.argv[2]); eps = float(sys.argv[3])
+calib_mt = cpu_calibration_mt_sec()  # per-LEG weather — legs run minutes apart
 # BENCH_CONF rationale in benchwork.py: AQE partition coalescing caps
 # compute-dense join stages, and lz4 shuffle compression dominates CPU
 # on a RAM-backed shuffle dir — both are network-shuffle optimizations
@@ -79,6 +80,7 @@ print(json.dumps({
     "join_sec": round(t_join, 3), "build_sec": round(t_build, 3),
     "join_rows_per_sec": round(2 * n_rows / t_join, 1),
     "build_rows_per_sec": round(n_rows / t_build, 1),
+    "leg_calib_mt_sec": round(calib_mt, 3),
 }))
 spark.stop()
 """
@@ -149,6 +151,9 @@ single-thread work stays flat (measured: identical 16M synth joins
 Join output pairs: {r8['pairs']:,} (identical at both levels — partition-count invariance).
 Join wall-clock: {r8['join_sec']}s @8 cores, {r32['join_sec']}s @32 cores.
 Build wall-clock: {r8['build_sec']}s @8 cores, {r32['build_sec']}s @32 cores.
+Per-leg weather (multicore probe, min-of-3): {r8['leg_calib_mt_sec']}s @8-core leg,
+{r32['leg_calib_mt_sec']}s @32-core leg (ref {CALIB_MT_REF_SEC}s) — efficiency numbers
+are biased when the legs land in different weather windows.
 
 Reference single-core anchors (BASELINE.md): ~12.4M boxes/s index
 build, ~8.6k searches/s on 1M items (geo-index README criterion runs).
@@ -162,10 +167,14 @@ build, ~8.6k searches/s on 1M items (geo-index README criterion runs).
   solo (no concurrent jobs).
 - Join efficiency > 1 at 32 cores is real on this VM (the 8-core leg
   underclocks per-core throughput); the criterion is >= 0.8.
-- Build efficiency < 0.8: the Hilbert build at 32 cores saturates
-  memory bandwidth on the range shuffle (14M rows/s ~ 450 MB/s of
-  shuffle payload each way), not CPU — a real multi-node cluster
-  spreads that across machines' memory buses.
+- Build efficiency < 0.8 is substantially HOST WEATHER, not the plan:
+  a stage decomposition run (key projection only / + range shuffle /
+  + sort, 64M rows) measured the pure NO-SHUFFLE codegen projection
+  speeding up only 1.2x from 8 to 32 cores in a bad window (2.04s ->
+  1.67s) — the VM was delivering ~10 effective cores regardless of
+  thread count. In good windows the full build shows 2.5x (11.4s @8 ->
+  4.5s @32). Residual real ceiling: shuffle memory bandwidth, which a
+  real multi-node cluster spreads across machines' memory buses.
 """
     )
     print(f"wrote {md}")

@@ -222,6 +222,24 @@ def q_knn_join_parts_events(spark, sf_dir):
     return out.select("left_id", "right_id", F.round(F.col("dist"), 6).alias("dist_r"))
 
 
+def q_knn_join_haversine_events(spark, sf_dir):
+    """kNN join, haversine metric (meters over lon/lat): every 20th
+    event point's 3 nearest geo neighbors — the degree-box expansion
+    keeps certification exact at high latitudes."""
+    from geo_index_spark.operators.knn import knn_join
+
+    geo = _events_pts(spark, sf_dir).select(
+        "event_id",
+        (F.col("x") * 0.5 - 122.5).alias("x"),
+        (F.col("y") * 0.8 - 60.0).alias("y"),
+    )
+    left = geo.filter(F.col("event_id") % 20 == 0)
+    out = knn_join(
+        left, geo, 3, left_id="event_id", right_id="event_id", metric="haversine"
+    )
+    return out.select("left_id", "right_id", F.round(F.col("dist"), 6).alias("dist_r"))
+
+
 KNN_POLYLINE = [[50.0, 10.0], [150.0, 90.0], [300.0, 40.0], [450.0, 120.0]]
 KNN_POLYGON = PIP_POLY0 = [[50.0, 10.0], [150.0, 25.0], [180.0, 80.0], [90.0, 120.0], [20.0, 70.0]]
 
@@ -594,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_events_parts": q_spatial_join_events_parts,
         "knn_boxes_parts": q_knn_boxes_parts,
         "knn_join_parts_events": q_knn_join_parts_events,
+        "knn_join_haversine_events": q_knn_join_haversine_events,
         "knn_geometry_events": q_knn_geometry_events,
         "knn_polygon_events": q_knn_polygon_events,
         "indexed_bbox_events": q_indexed_bbox_events,
@@ -729,6 +748,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey AS id, p_size::DOUBLE + 1.5 AS x,"
             " p_retailprice / 10.0 + 1.5 AS y FROM part",
             "SELECT event_id AS id, value AS x, user_id::DOUBLE AS y FROM events",
+        ),
+        "knn_join_haversine_events": __import__(
+            "geo_index_spark.operators.knn", fromlist=["knn_join_sql"]
+        ).knn_join_sql(
+            3,
+            "SELECT event_id AS id, value*0.5 - 122.5 AS x,"
+            " user_id::DOUBLE*0.8 - 60.0 AS y FROM events WHERE event_id % 20 = 0",
+            "SELECT event_id AS id, value*0.5 - 122.5 AS x,"
+            " user_id::DOUBLE*0.8 - 60.0 AS y FROM events",
+            metric="haversine",
         ),
         "knn_geometry_events": __import__(
             "geo_index_spark.operators.knn", fromlist=["knn_geometry_sql"]

@@ -279,29 +279,19 @@ def haversine_pair_col(lx: Column, ly: Column, rx: Column, ry: Column) -> Column
     return F.lit(2.0 * 6378137.0) * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
 
 
-def _haversine_distance_join(
-    left: DataFrame,
-    right: DataFrame,
-    radius_m: float,
-    left_id: str,
-    right_id: str,
-    left_cols: tuple[str, str],
-    right_cols: tuple[str, str],
-    bounds: tuple[float, float, float, float] | None,
-    grid_level: int | None,
-) -> DataFrame:
+def haversine_box_expand(lat: Column, radius_m: float) -> tuple[float, Column]:
+    """(dlat_deg literal, dlon_deg column) of the smallest lon/lat box
+    guaranteed to contain the haversine ``radius_m`` ball around a point
+    at latitude ``lat``. Completeness: any point within haversine r
+    satisfies |dlat| <= theta (= r/R), and from the haversine identity
+    sin^2(theta/2) >= cos(lat0)cos(lat)sin^2(dlon/2) with
+    cos(lat) >= cos(|lat0| + theta) inside the lat band; a band touching
+    a pole widens to the full lon range."""
     import math
 
     R = 6378137.0
     theta = radius_m / R  # central angle, radians
     dlat_deg = math.degrees(theta)
-    lx, ly = left_cols
-    rx, ry = right_cols
-    lat = F.col(ly)
-    # completeness: any point within haversine r satisfies
-    # |dlat| <= theta, and sin^2(theta/2) >= cos(lat0)cos(lat)sin^2(dlon/2)
-    # with cos(lat) >= cos(|lat0| + theta) inside the lat band; a band
-    # touching a pole widens to the full lon range
     denom = F.cos(F.radians(lat)) * F.cos(
         F.least(F.lit(math.pi / 2), F.abs(F.radians(lat)) + F.lit(theta))
     )
@@ -314,6 +304,23 @@ def _haversine_distance_join(
             * F.asin(F.least(F.lit(1.0), F.lit(math.sin(theta / 2.0)) / F.sqrt(denom)))
         )
     )
+    return dlat_deg, dlon_deg
+
+
+def _haversine_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    left_id: str,
+    right_id: str,
+    left_cols: tuple[str, str],
+    right_cols: tuple[str, str],
+    bounds: tuple[float, float, float, float] | None,
+    grid_level: int | None,
+) -> DataFrame:
+    lx, ly = left_cols
+    rx, ry = right_cols
+    dlat_deg, dlon_deg = haversine_box_expand(F.col(ly), radius_m)
     lb = left.select(
         F.col(left_id).alias("row_id"),
         F.greatest(F.lit(-180.0), F.col(lx) - dlon_deg).alias("minx"),

@@ -249,6 +249,7 @@ def knn_join(
     bounds: tuple[float, float, float, float] | None = None,
     init_radius: float | None = None,
     max_rounds: int = 16,
+    metric: str = "euclidean",
 ) -> DataFrame:
     """EXACT distributed kNN join: for every left point, its ``k``
     nearest right points — (left_id, right_id, dist), per-left ascending
@@ -266,10 +267,27 @@ def knn_join(
     whose box covers the whole domain certifies unconditionally. Rounds
     shuffle only the remaining lefts, so the tail (points in sparse
     voids) costs little; ``init_radius`` defaults to the uniform-density
-    estimate extent * sqrt(k / |right|)."""
+    estimate extent * sqrt(k / |right|).
+
+    ``metric="haversine"``: radius in METERS over (lon, lat) degrees;
+    candidate boxes use the provably-containing degree expansion of
+    :func:`geo_index_spark.operators.join.haversine_box_expand`, so the
+    same certification argument holds (outside the box implies
+    haversine distance > r). No antimeridian wrap (as distance_join)."""
+    import math
+
     from pyspark.sql import Window
 
-    from geo_index_spark.operators.join import choose_grid_level, spatial_join
+    from geo_index_spark.operators.join import (
+        choose_grid_level,
+        haversine_box_expand,
+        haversine_pair_col,
+        spatial_join,
+    )
+
+    if metric not in ("euclidean", "haversine"):
+        raise ValueError(f"metric must be euclidean|haversine, got {metric!r}")
+    R_EARTH = 6378137.0
 
     lx, ly = left_cols
     rx, ry = right_cols
@@ -299,27 +317,46 @@ def knn_join(
                 max(rhi_y, lagg[3]),
             )
         if init_radius is None:
-            import math
-
             ext = max(bounds[2] - bounds[0], bounds[3] - bounds[1], 1e-12)
-            init_radius = ext * math.sqrt(min(1.0, float(k) / max(n_right, 1)))
+            density = math.sqrt(min(1.0, float(k) / max(n_right, 1)))
+            if metric == "haversine":
+                # degrees -> conservative meters at the equator scale
+                init_radius = ext * 111320.0 * density
+            else:
+                init_radius = ext * density
     extent = max(bounds[2] - bounds[0], bounds[3] - bounds[1], 1e-12)
-    r = max(float(init_radius), extent / (1 << 20))
+    # radius covering the whole domain: every right point is a candidate
+    cover_r = math.pi * R_EARTH if metric == "haversine" else extent
+    r = max(float(init_radius), cover_r / (1 << 20))
 
     remaining = lpts.localCheckpoint()
     parts: list[DataFrame] = []
     w = Window.partitionBy("left_id").orderBy(F.col("dist").asc(), F.col("right_id").asc())
     for _ in range(max_rounds):
-        lb = remaining.select(
-            F.col("lid").alias("row_id"),
-            (F.col("px") - F.lit(r)).alias("minx"),
-            (F.col("py") - F.lit(r)).alias("miny"),
-            (F.col("px") + F.lit(r)).alias("maxx"),
-            (F.col("py") + F.lit(r)).alias("maxy"),
-            "px",
-            "py",
-        )
-        level = choose_grid_level(bounds, 2 * r, 2 * r)
+        if metric == "haversine":
+            dlat_deg, dlon_deg = haversine_box_expand(F.col("py"), r)
+            lb = remaining.select(
+                F.col("lid").alias("row_id"),
+                F.greatest(F.lit(-180.0), F.col("px") - dlon_deg).alias("minx"),
+                (F.col("py") - F.lit(dlat_deg)).alias("miny"),
+                F.least(F.lit(180.0), F.col("px") + dlon_deg).alias("maxx"),
+                (F.col("py") + F.lit(dlat_deg)).alias("maxy"),
+                "px",
+                "py",
+            )
+            box_scale = 2 * math.degrees(r / R_EARTH)
+        else:
+            lb = remaining.select(
+                F.col("lid").alias("row_id"),
+                (F.col("px") - F.lit(r)).alias("minx"),
+                (F.col("py") - F.lit(r)).alias("miny"),
+                (F.col("px") + F.lit(r)).alias("maxx"),
+                (F.col("py") + F.lit(r)).alias("maxy"),
+                "px",
+                "py",
+            )
+            box_scale = 2 * r
+        level = choose_grid_level(bounds, box_scale, box_scale)
         cand = spatial_join(
             lb,
             rb,
@@ -328,15 +365,21 @@ def knn_join(
             keep_left=("px", "py"),
             keep_right=("qx", "qy"),
         )
-        dx = F.col("l_px") - F.col("r_qx")
-        dy = F.col("l_py") - F.col("r_qy")
+        if metric == "haversine":
+            d = haversine_pair_col(
+                F.col("l_px"), F.col("l_py"), F.col("r_qx"), F.col("r_qy")
+            )
+        else:
+            dx = F.col("l_px") - F.col("r_qx")
+            dy = F.col("l_py") - F.col("r_qy")
+            d = F.sqrt(dx * dx + dy * dy)
         top = (
-            cand.withColumn("dist", F.sqrt(dx * dx + dy * dy))
+            cand.withColumn("dist", d)
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= F.lit(int(k)))
             .select("left_id", "right_id", "dist")
         )
-        full_cover = r >= extent
+        full_cover = r >= cover_r
         if full_cover:
             parts.append(top)
             remaining = None
@@ -367,20 +410,29 @@ def knn_join_sql(
     right_sql: str,
     left_id: str = "left_id",
     right_id: str = "right_id",
+    metric: str = "euclidean",
 ) -> str:
     """DuckDB mirror of :func:`knn_join` (brute-force cross join +
     window — oracle scale only). ``left_sql``/``right_sql`` must yield
     (id, x, y). Same distance expression order and the same
     (dist, right_id) row_number tiebreak."""
+    if metric == "haversine":
+        dist = (
+            "2.0 * 6378137.0 * asin(sqrt(least(1.0,"
+            " pow(sin(radians(r.y - l.y)/2), 2)"
+            " + cos(radians(l.y)) * cos(radians(r.y)) * pow(sin(radians(r.x - l.x)/2), 2)"
+            ")))"
+        )
+    else:
+        dist = "sqrt((l.x - r.x)*(l.x - r.x) + (l.y - r.y)*(l.y - r.y))"
     return f"""
     WITH l AS ({left_sql}), r AS ({right_sql}),
     scored AS (
       SELECT l.id AS {left_id}, r.id AS {right_id},
-             sqrt((l.x - r.x)*(l.x - r.x) + (l.y - r.y)*(l.y - r.y)) AS dist,
+             {dist} AS dist,
              row_number() OVER (
                PARTITION BY l.id
-               ORDER BY sqrt((l.x - r.x)*(l.x - r.x) + (l.y - r.y)*(l.y - r.y)) ASC,
-                        r.id ASC
+               ORDER BY {dist} ASC, r.id ASC
              ) AS rn
       FROM l CROSS JOIN r
     )

@@ -404,3 +404,34 @@ def test_haversine_distance_join_oracle(spark):
         ).fetchall()
     )
     assert got == want and len(got) > len(pts)
+
+def test_knn_join_haversine_matches_bruteforce(spark):
+    import numpy as np
+    from geo_index_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(11)
+    rpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        np.column_stack([rng.uniform(-20, 20, 200), rng.uniform(30, 70, 200)])
+    )]
+    # high-latitude lefts exercise the dlon widening
+    lpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        np.column_stack([rng.uniform(-20, 20, 40), rng.uniform(30, 88, 40)])
+    )]
+    ldf = spark.createDataFrame(lpts, "row_id long, x double, y double")
+    rdf = spark.createDataFrame(rpts, "row_id long, x double, y double")
+    got = sorted(
+        (r.left_id, r.right_id, round(r.dist, 6))
+        for r in knn_join(ldf, rdf, 4, metric="haversine").collect()
+    )
+    R = 6378137.0
+    brute = []
+    for lid, lx, ly in lpts:
+        ds = []
+        for rid, rx, ry in rpts:
+            h = (np.sin(np.radians(ry - ly) / 2) ** 2
+                 + np.cos(np.radians(ly)) * np.cos(np.radians(ry))
+                 * np.sin(np.radians(rx - lx) / 2) ** 2)
+            ds.append((2.0 * R * np.arcsin(np.sqrt(min(1.0, h))), rid))
+        ds.sort()
+        brute.extend((lid, rid, round(float(d), 6)) for d, rid in ds[:4])
+    assert got == sorted(brute)

@@ -440,6 +440,31 @@ def q_pip_join_events(spark, sf_dir):
     )
 
 
+def q_zonal_stats_poly(spark, sf_dir):
+    """Zonal stats over NON-RECTANGULAR zones: exact point-in-polygon
+    membership (ray cast) -> per-zone count/sum — the raster/vector
+    zonal shape with real polygon zones. Oracle: the pip ray-cast
+    unnest joined back to the point table."""
+    from geo_index_spark.operators.pip import point_in_polygon
+
+    pts = _events_pts(spark, sf_dir).withColumnRenamed("event_id", "row_id")
+    rows = []
+    for pid, ring in PIP_POLYGONS:
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        rows.append((pid, ring, min(xs), min(ys), max(xs), max(ys)))
+    polys = spark.createDataFrame(
+        rows,
+        "poly_id long, vertices array<array<double>>, minx double, miny double,"
+        " maxx double, maxy double",
+    )
+    hits = point_in_polygon(pts, polys, grid_level=4)
+    joined = hits.join(pts.select("row_id", "x"), "row_id")
+    return joined.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("x"), 4).alias("sum_x")
+    )
+
+
 def q_cluster_collapse_docs(spark, sf_dir):
     """Near-dup pairs -> connected components -> representatives
     (iterative label propagation; non-SQL)."""
@@ -604,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid_events": q_tile_pyramid_events,
         "pip_events": q_pip_events,
         "pip_join_events": q_pip_join_events,
+        "zonal_stats_poly": q_zonal_stats_poly,
         "cluster_collapse_docs": q_cluster_collapse_docs,
         "lsh_ann_emb": q_lsh_ann_emb,
         "ivf_ann_emb": q_ivf_ann_emb,
@@ -849,6 +875,20 @@ def oracle_sql() -> dict[str, str]:
         ).point_in_polygon_sql(
             PIP_POLYGONS,
             "SELECT event_id, value AS x, user_id::DOUBLE AS y FROM events",
+        ),
+        "zonal_stats_poly": """
+            WITH hits AS ({pip})
+            SELECT h.poly_id, count(*) AS n, round(sum(p.x), 4) AS sum_x
+            FROM hits h JOIN (SELECT event_id, value AS x FROM events) p
+              ON p.event_id = h.event_id
+            GROUP BY h.poly_id
+        """.format(
+            pip=__import__(
+                "geo_index_spark.operators.pip", fromlist=["point_in_polygon_sql"]
+            ).point_in_polygon_sql(
+                PIP_POLYGONS,
+                "SELECT event_id, value AS x, user_id::DOUBLE AS y FROM events",
+            )
         ),
         "cluster_collapse_docs": D.collapse_near_dup_clusters_sql(
             D.minhash_near_dup_pairs_sql(n=4, num_hashes=16, tau_num=jn, tau_den=jd)

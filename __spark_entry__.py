@@ -69,6 +69,49 @@ def _events_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geo_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events mapped into VALID WGS84 lon/lat: lon spans the full
+    [-180, 180) range (antimeridian vicinity included), lat stays in
+    [-80, 80). Spark's ``%`` on doubles and DuckDB's ``fmod`` are the
+    same IEEE remainder (bit-identical for nonnegative operands —
+    events.value/user_id are >= 0), so both engines see identical
+    coordinates. Replaces the round-2 affine mapping whose latitudes
+    exceeded 90 (ADVICE r2: the haversine degree-box completeness proof
+    needs |lat| <= 90)."""
+    ev = _events_pts(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        ((F.col("x") * 7.3) % F.lit(360.0) - 180.0).alias("x"),
+        ((F.col("y") * 1.7) % F.lit(160.0) - 80.0).alias("y"),
+    )
+
+
+GEO_PTS_SQL = (
+    "(SELECT event_id, fmod(value * 7.3, 360.0) - 180.0 AS x,"
+    " fmod(user_id::DOUBLE * 1.7, 160.0) - 80.0 AS y FROM events)"
+)
+
+# dateline cluster: lon in [177, 180) U [-180, -177), lat in [50, 70) —
+# every left's radius window can cross +-180, exercising the wrap
+DATELINE_RADIUS_M = 60_000.0
+
+
+def _dateline_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_pts(spark, sf_dir)
+    lon_raw = (F.col("x") * 0.91) % F.lit(6.0) - 183.0
+    lon = F.when(lon_raw < -180.0, lon_raw + 360.0).otherwise(lon_raw)
+    lat = (F.col("y") * 1.3) % F.lit(20.0) + 50.0
+    return ev.select("event_id", lon.alias("x"), lat.alias("y"))
+
+
+DATELINE_PTS_SQL = """(
+  SELECT event_id,
+         CASE WHEN lr < -180.0 THEN lr + 360.0 ELSE lr END AS x, y
+  FROM (SELECT event_id, fmod(value * 0.91, 6.0) - 183.0 AS lr,
+               fmod(user_id::DOUBLE * 1.3, 20.0) + 50.0 AS y FROM events)
+)"""
+
+
 def _part_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
     return p.select(
@@ -122,11 +165,7 @@ def q_knn_events(spark, sf_dir):
 
 def q_knn_haversine_events(spark, sf_dir):
     """Q4: kNN with haversine metric (reference src/rtree/distance.rs:35-125)."""
-    pts = _events_pts(spark, sf_dir).select(
-        "event_id",
-        (F.col("x") * 0.5 - 122.5).alias("x"),
-        (F.col("y") * 0.8 - 60.0).alias("y"),
-    )
+    pts = _geo_pts(spark, sf_dir)
     out = knn(pts, -30.0, 10.0, 50, metric="haversine", id_col="event_id")
     return out.select("event_id", F.round(F.col("dist"), 3).alias("dist_r"))
 
@@ -224,15 +263,12 @@ def q_knn_join_parts_events(spark, sf_dir):
 
 def q_knn_join_haversine_events(spark, sf_dir):
     """kNN join, haversine metric (meters over lon/lat): every 20th
-    event point's 3 nearest geo neighbors — the degree-box expansion
-    keeps certification exact at high latitudes."""
+    event point's 3 nearest geo neighbors — wrap-aware degree-box
+    expansion keeps certification exact at high latitudes and across
+    the antimeridian (lon spans the full range here)."""
     from geo_index_spark.operators.knn import knn_join
 
-    geo = _events_pts(spark, sf_dir).select(
-        "event_id",
-        (F.col("x") * 0.5 - 122.5).alias("x"),
-        (F.col("y") * 0.8 - 60.0).alias("y"),
-    )
+    geo = _geo_pts(spark, sf_dir)
     left = geo.filter(F.col("event_id") % 20 == 0)
     out = knn_join(
         left, geo, 3, left_id="event_id", right_id="event_id", metric="haversine"
@@ -330,19 +366,31 @@ def q_distance_join_events(spark, sf_dir):
 
 def q_haversine_join_events(spark, sf_dir):
     """Meters-radius distance join over geo-mapped events (lon/lat):
-    per-row degree-box candidate expansion (lat-dependent dlon) + exact
-    haversine residual. Left restricted to event_id % 20 == 0 to keep
-    the brute-force oracle tractable."""
+    per-row degree-box candidate expansion (lat-dependent dlon,
+    antimeridian wrap) + exact haversine residual. Left restricted to
+    event_id % 20 == 0 to keep the brute-force oracle tractable."""
     from geo_index_spark.operators.join import distance_join
 
-    geo = _events_pts(spark, sf_dir).select(
-        "event_id",
-        (F.col("x") * 0.5 - 122.5).alias("x"),
-        (F.col("y") * 0.8 - 60.0).alias("y"),
-    )
+    geo = _geo_pts(spark, sf_dir)
     left = geo.filter(F.col("event_id") % 20 == 0)
     return distance_join(
         left, geo, 200_000.0, left_id="event_id", right_id="event_id", metric="haversine"
+    )
+
+
+def q_haversine_join_dateline(spark, sf_dir):
+    """Dateline stress for the antimeridian wrap: every point's degree
+    window can cross +-180 (lon in [177, 180) U [-180, -177)); pairs
+    straddling the dateline MUST be returned (the haversine formula is
+    wrap-symmetric, so the brute-force oracle returns them for free —
+    round 2's clamped boxes silently dropped them)."""
+    from geo_index_spark.operators.join import distance_join
+
+    geo = _dateline_pts(spark, sf_dir)
+    left = geo.filter(F.col("event_id") % 20 == 0)
+    return distance_join(
+        left, geo, DATELINE_RADIUS_M, left_id="event_id", right_id="event_id",
+        metric="haversine",
     )
 
 
@@ -646,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_kd_within_events": q_indexed_kd_within_events,
         "distance_join_events": q_distance_join_events,
         "haversine_join_events": q_haversine_join_events,
+        "haversine_join_dateline": q_haversine_join_dateline,
         "zonal_stats_rect": q_zonal_stats_rect,
         "sessionize_events": q_sessionize_events,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -698,7 +747,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sqrt((x-123.45)*(x-123.45) + (y-67.0)*(y-67.0)) ASC, event_id ASC LIMIT 50
         """,
         "knn_haversine_events": f"""
-            WITH geo AS (SELECT event_id, x*0.5 - 122.5 AS x, y*0.8 - 60.0 AS y FROM {_EV_PTS}),
+            WITH geo AS (SELECT * FROM {GEO_PTS_SQL}),
             d AS (
               SELECT event_id,
                 2.0 * 6378137.0 * asin(sqrt(least(1.0,
@@ -779,10 +828,8 @@ def oracle_sql() -> dict[str, str]:
             "geo_index_spark.operators.knn", fromlist=["knn_join_sql"]
         ).knn_join_sql(
             3,
-            "SELECT event_id AS id, value*0.5 - 122.5 AS x,"
-            " user_id::DOUBLE*0.8 - 60.0 AS y FROM events WHERE event_id % 20 = 0",
-            "SELECT event_id AS id, value*0.5 - 122.5 AS x,"
-            " user_id::DOUBLE*0.8 - 60.0 AS y FROM events",
+            f"SELECT event_id AS id, x, y FROM {GEO_PTS_SQL} WHERE event_id % 20 = 0",
+            f"SELECT event_id AS id, x, y FROM {GEO_PTS_SQL}",
             metric="haversine",
         ),
         "knn_geometry_events": __import__(
@@ -805,7 +852,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 2.25
         """,
         "haversine_join_events": f"""
-            WITH g AS (SELECT event_id, x*0.5 - 122.5 AS x, y*0.8 - 60.0 AS y FROM {_EV_PTS}),
+            WITH g AS (SELECT * FROM {GEO_PTS_SQL}),
             l AS (SELECT * FROM g WHERE event_id % 20 = 0)
             SELECT l.event_id AS left_id, g.event_id AS right_id
             FROM l, g
@@ -813,6 +860,16 @@ def oracle_sql() -> dict[str, str]:
                     pow(sin(radians(g.y - l.y)/2), 2)
                     + cos(radians(l.y)) * cos(radians(g.y)) * pow(sin(radians(g.x - l.x)/2), 2)
                   ))) <= 200000.0
+        """,
+        "haversine_join_dateline": f"""
+            WITH g AS (SELECT * FROM {DATELINE_PTS_SQL}),
+            l AS (SELECT * FROM g WHERE event_id % 20 = 0)
+            SELECT l.event_id AS left_id, g.event_id AS right_id
+            FROM l, g
+            WHERE 2.0 * 6378137.0 * asin(sqrt(least(1.0,
+                    pow(sin(radians(g.y - l.y)/2), 2)
+                    + cos(radians(l.y)) * cos(radians(g.y)) * pow(sin(radians(g.x - l.x)/2), 2)
+                  ))) <= {DATELINE_RADIUS_M!r}
         """,
         "zonal_stats_rect": f"""
             SELECT zone_id, count(*) AS n, round(sum(x), 4) AS sum_x

@@ -222,9 +222,13 @@ def distance_join(
     dlat = theta (the central angle r/R) directly, and
     dlon = 2*asin(sin(theta/2) / sqrt(cos(lat) * cos(|lat|+theta)))
     from the haversine identity with the band's minimum cos — widening
-    to the full lon range when the band reaches a pole. No antimeridian
-    wrap: boxes are clamped at +-180, so pairs straddling the dateline
-    are not returned (documented limit; wrap = union of two joins)."""
+    to the full lon range when the band reaches a pole. ANTIMERIDIAN
+    WRAP: a degree window crossing +-180 emits the wrapped remainder as
+    a second candidate box (:func:`haversine_candidate_boxes`), so
+    dateline-straddling pairs are returned; the two lon segments are
+    disjoint, so no pair is emitted twice. Longitudes must be in
+    [-180, 180] and latitudes in [-90, 90] (out-of-range latitudes
+    raise — the expansion's completeness proof needs cos >= 0)."""
     if metric not in ("euclidean", "haversine"):
         raise ValueError(f"metric must be euclidean|haversine, got {metric!r}")
     if metric == "haversine":
@@ -286,7 +290,12 @@ def haversine_box_expand(lat: Column, radius_m: float) -> tuple[float, Column]:
     satisfies |dlat| <= theta (= r/R), and from the haversine identity
     sin^2(theta/2) >= cos(lat0)cos(lat)sin^2(dlon/2) with
     cos(lat) >= cos(|lat0| + theta) inside the lat band; a band touching
-    a pole widens to the full lon range."""
+    a pole widens to the full lon range. The dlon bound is on the
+    WRAPPED longitude difference (sin^2(dlon/2) is 360-periodic), so
+    callers crossing +-180 must emit the wrapped remainder too
+    (:func:`haversine_candidate_boxes`). Requires |lat| <= 90 — the
+    identity's cos terms must be nonnegative — enforced with a row-level
+    raise_error."""
     import math
 
     R = 6378137.0
@@ -296,6 +305,11 @@ def haversine_box_expand(lat: Column, radius_m: float) -> tuple[float, Column]:
         F.least(F.lit(math.pi / 2), F.abs(F.radians(lat)) + F.lit(theta))
     )
     dlon_deg = F.when(
+        F.abs(lat) > 90.0,
+        F.raise_error(
+            F.lit("haversine degree-box expansion requires |lat| <= 90")
+        ).cast("double"),
+    ).when(
         (F.abs(lat) + F.lit(dlat_deg) >= 90.0) | (denom <= F.lit(0.0)),
         F.lit(180.0),
     ).otherwise(
@@ -305,6 +319,68 @@ def haversine_box_expand(lat: Column, radius_m: float) -> tuple[float, Column]:
         )
     )
     return dlat_deg, dlon_deg
+
+
+def haversine_candidate_boxes(
+    df: DataFrame,
+    radius_m: float,
+    id_col: str = "row_id",
+    lon_col: str = "x",
+    lat_col: str = "y",
+) -> DataFrame:
+    """Per row: 1-2 candidate boxes (row_id, minx, miny, maxx, maxy,
+    px, py) whose union provably contains the haversine ``radius_m``
+    ball around (lon, lat) — antimeridian-safe.
+
+    When the degree window [lon - dlon, lon + dlon] crosses +-180, the
+    wrapped remainder re-enters from the other side and is emitted as a
+    second box; the two lon segments are DISJOINT, so a right point
+    matches at most one box and downstream joins need no pair dedup.
+    A window of width >= 360 (dlon >= 180, e.g. near-pole bands or a
+    full-cover radius) collapses to the single segment [-180, 180]."""
+    dlat_deg, dlon_deg = haversine_box_expand(F.col(lat_col), radius_m)
+    lo = F.col(lon_col) - dlon_deg
+    hi = F.col(lon_col) + dlon_deg
+    # at most one of (lo < -180), (hi > 180) holds when dlon < 180 and
+    # lon in [-180, 180]: both would need 2*dlon > 360
+    segs = (
+        F.when(
+            dlon_deg >= 180.0,
+            F.array(F.struct(F.lit(-180.0).alias("mnx"), F.lit(180.0).alias("mxx"))),
+        )
+        .when(
+            lo < -180.0,
+            F.array(
+                F.struct(F.lit(-180.0).alias("mnx"), hi.alias("mxx")),
+                F.struct((lo + 360.0).alias("mnx"), F.lit(180.0).alias("mxx")),
+            ),
+        )
+        .when(
+            hi > 180.0,
+            F.array(
+                F.struct(lo.alias("mnx"), F.lit(180.0).alias("mxx")),
+                F.struct(F.lit(-180.0).alias("mnx"), (hi - 360.0).alias("mxx")),
+            ),
+        )
+        .otherwise(F.array(F.struct(lo.alias("mnx"), hi.alias("mxx"))))
+    )
+    out = df.select(
+        F.col(id_col).alias("row_id"),
+        F.col(lon_col).alias("px"),
+        F.col(lat_col).alias("py"),
+        (F.col(lat_col) - F.lit(dlat_deg)).alias("miny"),
+        (F.col(lat_col) + F.lit(dlat_deg)).alias("maxy"),
+        F.explode(segs).alias("_seg"),
+    )
+    return out.select(
+        "row_id",
+        F.col("_seg.mnx").alias("minx"),
+        "miny",
+        F.col("_seg.mxx").alias("maxx"),
+        "maxy",
+        "px",
+        "py",
+    )
 
 
 def _haversine_distance_join(
@@ -320,15 +396,8 @@ def _haversine_distance_join(
 ) -> DataFrame:
     lx, ly = left_cols
     rx, ry = right_cols
-    dlat_deg, dlon_deg = haversine_box_expand(F.col(ly), radius_m)
-    lb = left.select(
-        F.col(left_id).alias("row_id"),
-        F.greatest(F.lit(-180.0), F.col(lx) - dlon_deg).alias("minx"),
-        (F.col(ly) - F.lit(dlat_deg)).alias("miny"),
-        F.least(F.lit(180.0), F.col(lx) + dlon_deg).alias("maxx"),
-        (F.col(ly) + F.lit(dlat_deg)).alias("maxy"),
-        F.col(lx).alias("px"),
-        F.col(ly).alias("py"),
+    lb = haversine_candidate_boxes(
+        left, radius_m, id_col=left_id, lon_col=lx, lat_col=ly
     )
     rb = right.select(
         F.col(right_id).alias("row_id"),

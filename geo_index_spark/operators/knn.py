@@ -271,16 +271,20 @@ def knn_join(
 
     ``metric="haversine"``: radius in METERS over (lon, lat) degrees;
     candidate boxes use the provably-containing degree expansion of
-    :func:`geo_index_spark.operators.join.haversine_box_expand`, so the
-    same certification argument holds (outside the box implies
-    haversine distance > r). No antimeridian wrap (as distance_join)."""
+    :func:`geo_index_spark.operators.join.haversine_candidate_boxes`,
+    WITH antimeridian wrap — a window crossing +-180 becomes two
+    disjoint lon segments — so the certification argument (outside the
+    box union implies haversine distance > r) holds for any data in
+    [-180, 180] x [-90, 90], and the full-cover round (r >= pi*R ->
+    dlon = 180, dlat = 180) genuinely covers the domain. Out-of-range
+    latitudes raise (row-level check in the expansion)."""
     import math
 
     from pyspark.sql import Window
 
     from geo_index_spark.operators.join import (
         choose_grid_level,
-        haversine_box_expand,
+        haversine_candidate_boxes,
         haversine_pair_col,
         spatial_join,
     )
@@ -334,15 +338,8 @@ def knn_join(
     w = Window.partitionBy("left_id").orderBy(F.col("dist").asc(), F.col("right_id").asc())
     for _ in range(max_rounds):
         if metric == "haversine":
-            dlat_deg, dlon_deg = haversine_box_expand(F.col("py"), r)
-            lb = remaining.select(
-                F.col("lid").alias("row_id"),
-                F.greatest(F.lit(-180.0), F.col("px") - dlon_deg).alias("minx"),
-                (F.col("py") - F.lit(dlat_deg)).alias("miny"),
-                F.least(F.lit(180.0), F.col("px") + dlon_deg).alias("maxx"),
-                (F.col("py") + F.lit(dlat_deg)).alias("maxy"),
-                "px",
-                "py",
+            lb = haversine_candidate_boxes(
+                remaining, r, id_col="lid", lon_col="px", lat_col="py"
             )
             box_scale = 2 * math.degrees(r / R_EARTH)
         else:

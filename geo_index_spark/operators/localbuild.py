@@ -164,7 +164,11 @@ def within_partition_indexes(
     partition pruning by circle-vs-bbox lower bound, then local
     ``within`` on kdbush blobs (flatbush point blobs fall back to a
     bbox search + exact residual — same inclusive dist^2 <= r^2
-    contract, reference src/kdtree/trait.rs:118-174)."""
+    contract, reference src/kdtree/trait.rs:118-174).
+
+    POINT BLOBS ONLY: the exact residual is point distance, so flatbush
+    blobs built over real boxes (minx != maxx) raise — box-distance
+    ``within`` has different semantics (use knn/box operators)."""
     from pyspark.sql import functions as F
 
     pruned = index_df.filter(_lb_col(qx, qy, "euclidean") <= F.lit(float(r)))
@@ -186,6 +190,13 @@ def within_partition_indexes(
                         pos = np.empty(n, dtype=np.int64)
                         pos[fb.indices[:n]] = np.arange(n)
                         lb = fb.nodes[pos[idx]]
+                        if (lb[:, 0] != lb[:, 2]).any() or (lb[:, 1] != lb[:, 3]).any():
+                            raise ValueError(
+                                "within_partition_indexes requires point-mode "
+                                "blobs (cols=(x, y)); this flatbush blob holds "
+                                "real boxes — point-distance refine would "
+                                "silently compute center-within-r"
+                            )
                         cx = (lb[:, 0] + lb[:, 2]) / 2.0
                         cy = (lb[:, 1] + lb[:, 3]) / 2.0
                         idx = idx[(cx - qx) ** 2 + (cy - qy) ** 2 <= r * r]

@@ -196,10 +196,14 @@ def point_in_polygon_join(
 
     x1, y1, x2, y2 = (F.col(c) for c in ("x1", "y1", "x2", "y2"))
     px, py = F.col("px"), F.col("py")
-    # same crossing test + expression order as ray_cast_np
+    # same crossing test + expression order as ray_cast_np; the division
+    # is nested under the (y1 > py) != (y2 > py) branch (which implies
+    # y1 != y2) exactly like the oracle's nested CASE, so horizontal
+    # edges never reach it even under ANSI mode / predicate reordering
     xin = (x2 - x1) * (py - y1) / (y2 - y1) + x1
     crossing = F.when(
-        ((y1 > py) != (y2 > py)) & (px < xin), F.lit(1)
+        (y1 > py) != (y2 > py),
+        F.when(px < xin, F.lit(1)).otherwise(F.lit(0)),
     ).otherwise(F.lit(0))
     joined = cand.join(edges, "pg_id")
     return (

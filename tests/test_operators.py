@@ -435,3 +435,65 @@ def test_knn_join_haversine_matches_bruteforce(spark):
         ds.sort()
         brute.extend((lid, rid, round(float(d), 6)) for d, rid in ds[:4])
     assert got == sorted(brute)
+
+
+def test_haversine_dateline_wrap(spark):
+    """Antimeridian: pairs straddling +-180 MUST be returned (wrap-aware
+    candidate boxes; round 2 clamped at +-180 and silently dropped
+    them). Both distance_join and knn_join vs numpy brute force."""
+    import numpy as np
+    from geo_index_spark.operators.join import distance_join
+    from geo_index_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(5)
+    lon_east = rng.uniform(178.5, 180.0, 60)        # just west of the line
+    lon_west = rng.uniform(-180.0, -178.5, 60)      # just east of it
+    lon = np.concatenate([lon_east, lon_west])
+    lat = rng.uniform(55.0, 65.0, 120)
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(np.column_stack([lon, lat]))]
+    df = spark.createDataFrame(pts, "row_id long, x double, y double")
+
+    R = 6378137.0
+
+    def hav(lx, ly, rx, ry):
+        h = (np.sin(np.radians(ry - ly) / 2) ** 2
+             + np.cos(np.radians(ly)) * np.cos(np.radians(ry))
+             * np.sin(np.radians(rx - lx) / 2) ** 2)
+        return 2.0 * R * np.arcsin(np.sqrt(np.minimum(1.0, h)))
+
+    r_m = 100_000.0
+    got = {(r.left_id, r.right_id) for r in distance_join(df, df, r_m, metric="haversine").collect()}
+    want = set()
+    for i, lx, ly in pts:
+        for j, rx, ry in pts:
+            if hav(lx, ly, rx, ry) <= r_m:
+                want.add((i, j))
+    assert got == want
+    # the fixture must actually cross the line
+    crossing = {(a, b) for (a, b) in want if (pts[a][1] > 0) != (pts[b][1] > 0)}
+    assert len(crossing) > 10
+
+    got_knn = sorted(
+        (r.left_id, r.right_id, round(r.dist, 6))
+        for r in knn_join(df, df, 3, metric="haversine").collect()
+    )
+    brute = []
+    for i, lx, ly in pts:
+        ds = sorted((float(hav(lx, ly, rx, ry)), j) for j, rx, ry in pts)
+        brute.extend((i, j, round(d, 6)) for d, j in ds[:3])
+    assert got_knn == sorted(brute)
+    # nearest neighbors must include cross-dateline ones
+    assert any((pts[a][1] > 0) != (pts[b][1] > 0) for a, b, _ in got_knn)
+
+
+def test_haversine_invalid_latitude_raises(spark):
+    """|lat| > 90 breaks the degree-box completeness proof — the
+    expansion now raises row-level instead of silently returning
+    wrong candidates (ADVICE r2)."""
+    from geo_index_spark.operators.join import distance_join
+
+    df = spark.createDataFrame(
+        [(0, 10.0, 45.0), (1, 11.0, 95.0)], "row_id long, x double, y double"
+    )
+    with pytest.raises(Exception, match="(?i)lat"):
+        distance_join(df, df, 50_000.0, metric="haversine").collect()

@@ -663,6 +663,16 @@ def q_cosine_near_dup_emb(spark, sf_dir):
     return A.cosine_near_dup_pairs(emb, tau=COS_TAU)
 
 
+def q_lsh_near_dup_emb(spark, sf_dir):
+    """Bucketed embedding near-dup PAIRS (the 100 TB path): LSH-band
+    candidates -> exact cosine refine — no all-pairs join anywhere.
+    Literal hyperplanes make the DuckDB oracle replay the identical
+    candidate set, so parity is exact (recall vs brute force is
+    pytest-pinned separately)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.lsh_cosine_near_dup_pairs(emb, tau=COS_TAU, dim=64, n_bands=8, n_planes=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox_events": q_bbox_events,
@@ -712,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_docs": q_minhash_lsh_docs,
         "cosine_topk_emb": q_cosine_topk_emb,
         "cosine_near_dup_emb": q_cosine_near_dup_emb,
+        "lsh_near_dup_emb": q_lsh_near_dup_emb,
     }
 
 
@@ -921,6 +932,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_docs": D.minhash_near_dup_pairs_sql(n=4, num_hashes=16, tau_num=jn, tau_den=jd),
         "cosine_topk_emb": A.cosine_topk_sql(ANN_QUERY, ANN_K),
         "cosine_near_dup_emb": A.cosine_near_dup_pairs_sql(tau=COS_TAU),
+        "lsh_near_dup_emb": A.lsh_cosine_near_dup_pairs_sql(
+            tau=COS_TAU, dim=64, n_bands=8, n_planes=8
+        ),
         "pip_events": __import__(
             "geo_index_spark.operators.pip", fromlist=["point_in_polygon_sql"]
         ).point_in_polygon_sql(

@@ -82,7 +82,9 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact (a_id, b_id) pairs with cosine >= tau. All-pairs — the
-    validation-scale oracle twin of the LSH path."""
+    validation-scale oracle twin; the production path at corpus scale
+    is :func:`lsh_cosine_near_dup_pairs` (banded candidates, exact
+    refine — no cross join)."""
     a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("a_id") < F.col("b_id"))
@@ -157,6 +159,132 @@ def with_lsh_bucket(
         bit = F.when(_dot(v, hcol) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         key = key + bit
     return emb.withColumn(out, key.cast("long"))
+
+
+def _band_planes(dim: int, n_bands: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """(n_bands, n_planes, dim) hyperplanes drawn from ONE rng stream so
+    the SQL mirror regenerates the identical literals."""
+    return _hyperplanes(dim, n_bands * n_planes, seed).reshape(n_bands, n_planes, dim)
+
+
+def with_lsh_band_keys(
+    emb: DataFrame,
+    dim: int,
+    n_bands: int = 8,
+    n_planes: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    out: str = "bands",
+) -> DataFrame:
+    """``array<long>`` of per-band random-hyperplane bucket keys (band b
+    bit j = sign(v . H[b,j])) — the vector analogue of MinHash banding
+    (textops/dedup.py). Pure Catalyst: hyperplanes are literal arrays,
+    so at 100 TB this is a projection computed once at ingest."""
+    H = _band_planes(dim, n_bands, n_planes, seed)
+    v = F.col(vec_col)
+    keys = []
+    for b in range(n_bands):
+        key = F.lit(0).cast("long")
+        for j in range(n_planes):
+            hcol = F.array(*[F.lit(float(x)) for x in H[b, j]])
+            key = key + F.when(_dot(v, hcol) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        keys.append(key.cast("long"))
+    return emb.withColumn(out, F.array(*keys))
+
+
+def lsh_cosine_near_dup_pairs(
+    emb: DataFrame,
+    tau: float = 0.99,
+    dim: int = 64,
+    n_bands: int = 8,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed (LSH-band) embedding near-duplicate PAIRS — the
+    production path that replaces :func:`cosine_near_dup_pairs`'s
+    all-pairs cross join with candidates-then-refine, the same
+    discipline as MinHash banding for text (dedup.py:137) and the
+    reference's dual-tree candidate pruning
+    (/root/reference/src/rtree/traversal.rs:262-370).
+
+    Plan: (1) band keys = one Catalyst projection; (2) posexplode to a
+    (id, band, bucket) table; (3) candidates = same-(band, bucket)
+    equi-join with a < b, DISTINCT on the pair key; (4) refine = join
+    the two vectors back and keep exact ``round(cos, 6) >= tau``. Only
+    same-bucket pairs are ever materialized, so cost is sum of squared
+    bucket sizes, not |emb|^2.
+
+    PRECISION is exact (refine step); RECALL is the standard LSH bound
+    ``1 - (1 - p^n_planes)^n_bands`` with p = 1 - arccos(cos)/pi — at
+    tau = 0.99, 8 bands x 8 planes give recall > 0.9999 (pytest-pinned
+    recall 1.0 on clustered fixtures). DETERMINISTIC given ``seed``, so
+    :func:`lsh_cosine_near_dup_pairs_sql` replays the identical
+    candidate set + refine in DuckDB — exact parity."""
+    bands = (
+        with_lsh_band_keys(emb, dim, n_bands, n_planes, seed, vec_col)
+        .select(F.col(id_col).alias("id"), F.posexplode("bands").alias("band", "bucket"))
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(va, "a_id").join(vb, "b_id")
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return pairs.filter(F.round(cos, 6) >= F.lit(float(tau))).select("a_id", "b_id")
+
+
+def lsh_cosine_near_dup_pairs_sql(
+    tau: float = 0.99,
+    dim: int = 64,
+    n_bands: int = 8,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of :func:`lsh_cosine_near_dup_pairs`: identical
+    literal hyperplanes (same rng stream), identical band keys,
+    same-(band, bucket) candidate join, same DISTINCT + exact-cosine
+    refine — parity is exact, not statistical."""
+    H = _band_planes(dim, n_bands, n_planes, seed)
+
+    def bandkey(b: int) -> str:
+        terms = []
+        for j in range(n_planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in H[b, j]) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0"
+                f" THEN {1 << j}::BIGINT ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")::BIGINT"
+
+    keysel = ", ".join(f"{bandkey(b)} AS k{b}" for b in range(n_bands))
+    unions = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, k{b} AS bucket FROM keys" for b in range(n_bands)
+    )
+    return f"""
+    WITH vecs AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+    keys AS (SELECT id, {keysel} FROM vecs),
+    bands AS ({unions}),
+    cand AS (
+      SELECT DISTINCT x.id AS a_id, y.id AS b_id
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+    )
+    SELECT c.a_id, c.b_id
+    FROM cand c JOIN vecs a ON a.id = c.a_id JOIN vecs b ON b.id = c.b_id
+    WHERE round(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))), 6) >= {float(tau)!r}
+    """
 
 
 def lsh_cosine_topk(

@@ -222,3 +222,107 @@ def test_ivf_partial_probe_recall(spark):
     ivf1 = {r.id for r in A.ivf_cosine_topk(emb, q, 25, n_centroids=16, nprobe=1).collect()}
     assert r4 >= 5
     assert r4 >= len(ivf1 & brute)
+
+
+class TestLshCosineNearDupPairs:
+    """Bucketed embedding near-dup pairs — the production path that
+    replaces the all-pairs cross join (round-2 verdict item #1)."""
+
+    def _mk(self, spark, vecs):
+        import numpy as np
+
+        rows = [(i, [float(v) for v in x]) for i, x in enumerate(vecs)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_recall_one_on_clustered_fixture(self, spark):
+        """tau=0.99 near-dups (tiny-noise copies): 8 bands x 8 planes
+        must find every true pair (theoretical recall > 0.9999)."""
+        import numpy as np
+        from geo_index_spark.textops.ann import (
+            cosine_near_dup_pairs,
+            lsh_cosine_near_dup_pairs,
+        )
+
+        rng = np.random.default_rng(42)
+        base = rng.standard_normal((12, 32))
+        vecs = []
+        for b in base:
+            for _ in range(4):  # 4 near-copies per cluster
+                vecs.append(b + rng.standard_normal(32) * 0.01)
+        df = self._mk(spark, vecs)
+        exact = {(r.a_id, r.b_id) for r in cosine_near_dup_pairs(df, tau=0.99).collect()}
+        got = {
+            (r.a_id, r.b_id)
+            for r in lsh_cosine_near_dup_pairs(
+                df, tau=0.99, dim=32, n_bands=8, n_planes=8
+            ).collect()
+        }
+        assert len(exact) >= 12 * 6  # every cluster contributes all C(4,2) pairs
+        assert got == exact  # recall 1.0 AND precision 1.0
+
+    def test_precision_exact_subset(self, spark):
+        """Refine is exact: LSH output is always a subset of the brute
+        force pairs, at any tau (candidates can only shrink recall)."""
+        import numpy as np
+        from geo_index_spark.textops.ann import (
+            cosine_near_dup_pairs,
+            lsh_cosine_near_dup_pairs,
+        )
+
+        rng = np.random.default_rng(7)
+        df = self._mk(spark, rng.standard_normal((80, 16)))
+        exact = {(r.a_id, r.b_id) for r in cosine_near_dup_pairs(df, tau=0.3).collect()}
+        got = {
+            (r.a_id, r.b_id)
+            for r in lsh_cosine_near_dup_pairs(
+                df, tau=0.3, dim=16, n_bands=6, n_planes=6
+            ).collect()
+        }
+        assert got <= exact
+
+    def test_identical_vectors_always_found(self, spark):
+        """Completeness bound: exact duplicates share every band key,
+        so they collide in all bands — found regardless of params."""
+        import numpy as np
+        from geo_index_spark.textops.ann import lsh_cosine_near_dup_pairs
+
+        rng = np.random.default_rng(3)
+        v = rng.standard_normal(24)
+        vecs = [v, v * 2.0, rng.standard_normal(24), v * 0.5]
+        df = self._mk(spark, vecs)
+        got = {
+            (r.a_id, r.b_id)
+            for r in lsh_cosine_near_dup_pairs(
+                df, tau=0.999999, dim=24, n_bands=2, n_planes=10
+            ).collect()
+        }
+        assert {(0, 1), (0, 3), (1, 3)} <= got
+
+    def test_sql_mirror_parity(self, spark):
+        """The DuckDB mirror replays the identical candidate set +
+        refine (literal hyperplanes) — exact row-set parity."""
+        import duckdb
+        import numpy as np
+        from geo_index_spark.textops.ann import (
+            lsh_cosine_near_dup_pairs,
+            lsh_cosine_near_dup_pairs_sql,
+        )
+
+        rng = np.random.default_rng(19)
+        base = rng.standard_normal((10, 16))
+        vecs = list(base) + [b + rng.standard_normal(16) * 0.05 for b in base]
+        df = self._mk(spark, vecs)
+        got = sorted(
+            (r.a_id, r.b_id)
+            for r in lsh_cosine_near_dup_pairs(
+                df, tau=0.9, dim=16, n_bands=4, n_planes=6
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register("embeddings", df.toPandas())
+        want = sorted(
+            con.sql(
+                lsh_cosine_near_dup_pairs_sql(tau=0.9, dim=16, n_bands=4, n_planes=6)
+            ).fetchall()
+        )
+        assert got == want and len(got) >= 10

@@ -431,10 +431,9 @@ def q_tile_pyramid_events(spark, sf_dir):
     return tile_pyramid(pts, min_level=3, max_level=6, bounds=TILE_BOUNDS)
 
 
-# --- deterministic non-trivial queries: pip / cluster-collapse / lsh-ann
-# all have exact DuckDB oracles (ray-cast unnest, recursive-CTE CC, literal
-# hyperplane replay); only media_features stays rows-only (codec stub +
-# Spark-side synthesized input the oracle can't see) -------------------------
+# --- deterministic non-trivial queries: pip / cluster-collapse / lsh-ann /
+# media — all have exact DuckDB oracles (ray-cast unnest, recursive-CTE CC,
+# literal hyperplane replay, materialized-parquet byte histogram) ------------
 
 PIP_POLYGONS = [
     (0, [[50.0, 10.0], [150.0, 25.0], [180.0, 80.0], [90.0, 120.0], [20.0, 70.0]]),
@@ -539,19 +538,67 @@ def q_ivf_ann_emb(spark, sf_dir):
     return A.ivf_cosine_topk(emb, ANN_QUERY, ANN_K, n_centroids=16, nprobe=4)
 
 
+MEDIA_N = 60
+
+
+def _media_path() -> str:
+    """Materialized fake-media parquet (idempotent) — called from BOTH
+    the Spark query and oracle_sql() so whichever the driver evaluates
+    first creates the file; both engines then read identical bytes."""
+    from geo_index_spark.multimodal import ensure_media_parquet
+
+    p = Path(__file__).resolve().parent / ".media_cache" / f"media_n{MEDIA_N}.parquet"
+    return ensure_media_parquet(str(p), MEDIA_N)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> typed meta + histogram
-    features over mapInPandas (codec layer stubbed per sandbox).
-    Exploded to scalar (media_id, bin_idx, value_r) rows — the driver's
-    rows-only canonicalizer sorts all columns and array cells are
-    unhashable in pandas."""
-    from geo_index_spark.multimodal import fake_media_df, media_features
+    features over mapInPandas (codec layer stubbed per sandbox). The
+    input is a materialized parquet both engines read, and the feature
+    is emitted as floor(value * 1e6) per-million integers — numpy's
+    hist/tot divide, the JVM multiply, and DuckDB's double ops are the
+    same IEEE operations, so the oracle is EXACT (round 2 was
+    rows-only purely for input visibility)."""
+    from geo_index_spark.multimodal import media_features
 
-    media = fake_media_df(spark, 60)
+    media = spark.read.parquet(_media_path())
     feats = media_features(media)
     return feats.select(
         "media_id", F.posexplode("features").alias("bin_idx", "value")
-    ).select("media_id", "bin_idx", F.round("value", 6).alias("value_r"))
+    ).select(
+        "media_id",
+        "bin_idx",
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("value_pm"),
+    )
+
+
+def _media_features_sql() -> str:
+    """DuckDB mirror of q_media_features: body = payload bytes past the
+    19-byte FAKE header; high nibble of byte i = hex char 2i+1 of
+    hex(body); histogram over 16 bins normalized by body length —
+    identical arithmetic (double divide, *1e6, floor)."""
+    path = _media_path()
+    return f"""
+    WITH m AS (
+      SELECT media_id, substr(hex(payload), 39) AS hx,
+             octet_length(payload) - 19 AS len
+      FROM read_parquet('{path}')
+    ),
+    nib AS (
+      SELECT media_id,
+             strpos('0123456789ABCDEF',
+                    substr(hx, 2 * unnest(range(0, len))::INT + 1, 1)) - 1 AS b
+      FROM m
+    ),
+    cnts AS (SELECT media_id, b, count(*) AS c FROM nib GROUP BY 1, 2),
+    bins AS (
+      SELECT m.media_id, m.len, r.b
+      FROM m CROSS JOIN (SELECT unnest(range(0, 16)) AS b) r
+    )
+    SELECT bins.media_id, bins.b::INT AS bin_idx,
+           floor((coalesce(c.c, 0)::DOUBLE / bins.len::DOUBLE) * 1000000.0)::BIGINT AS value_pm
+    FROM bins LEFT JOIN cnts c ON c.media_id = bins.media_id AND c.b = bins.b
+    """
 
 
 def q_events_hourly_rollup(spark, sf_dir):
@@ -968,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
             ANN_QUERY, ANN_K, dim=64, n_planes=12, probe_hamming=3
         ),
         "ivf_ann_emb": A.ivf_cosine_topk_sql(ANN_QUERY, ANN_K, n_centroids=16, nprobe=4),
+        "media_features": _media_features_sql(),
     }
 
 

@@ -126,7 +126,10 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.mapInPandas(run, "media_id long, frame_idx int, frame binary")
 
 
-def fake_media_df(spark, n: int = 50, seed: int = 11) -> DataFrame:
+def fake_media_rows(n: int = 50, seed: int = 11) -> list[tuple[int, str, bytes]]:
+    """Deterministic (media_id, kind, payload) rows — the single source
+    for both the Spark DataFrame and the on-disk parquet the DuckDB
+    oracle reads."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["IMG", "AUD", "VID"]
@@ -141,5 +144,37 @@ def fake_media_df(spark, n: int = 50, seed: int = 11) -> DataFrame:
             int(rng.integers(1, 300)),
             body,
         )
-        rows.append((i, kind, bytearray(payload)))
+        rows.append((i, kind, payload))
+    return rows
+
+
+def fake_media_df(spark, n: int = 50, seed: int = 11) -> DataFrame:
+    rows = [(i, k, bytearray(p)) for i, k, p in fake_media_rows(n, seed)]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def ensure_media_parquet(path: str, n: int = 50, seed: int = 11) -> str:
+    """Materialize :func:`fake_media_rows` as a single parquet file
+    (idempotent, atomic rename) so Spark and a DuckDB oracle read
+    IDENTICAL payload bytes from disk — input visibility was the only
+    blocker for an exact media_features oracle (round-2 verdict #3)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rows = fake_media_rows(n, seed)
+    t = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array([r[1] for r in rows], pa.string()),
+            "payload": pa.array([r[2] for r in rows], pa.binary()),
+        }
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path

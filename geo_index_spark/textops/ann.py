@@ -312,6 +312,93 @@ def lsh_cosine_topk(
     return cosine_topk(cand, [float(v) for v in q], k, id_col, vec_col)
 
 
+def _py_dot(a, b) -> float:
+    """Strict left-to-right double fold — the same op order as the
+    Catalyst ``aggregate(zip_with(...))`` fold and DuckDB's
+    ``list_dot_product`` (parity pinned by the round-2 oracle greens),
+    so Python-computed centroid scores are bit-identical to both."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the ``n_centroids`` lowest-id
+    embeddings, collected ONCE (tiny — this is the only job the
+    quantizer ever runs; production swaps in k-means rows and the rest
+    of the IVF machinery is unchanged)."""
+    rows = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(int(n_centroids))
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    return [(int(r["cent_id"]), [float(x) for x in r["cvec"]]) for r in rows]
+
+
+def with_ivf_cell(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out: str = "cell",
+) -> DataFrame:
+    """INGEST-TIME IVF assignment as a PURE PROJECTION: centroids are
+    literals, each cosine is a codegen'd fold, and the argmax is
+    ``array_min`` over (−cos, cent_id) structs — lexicographic struct
+    order IS the (cosine desc, cent_id asc) tiebreak. No window, no
+    shuffle, no join: at 100 TB this runs inside the ingest scan and
+    the cell lands as a partition column (:func:`write_ivf_partitioned`),
+    making every query a partition-pruned read of nprobe cells."""
+    v = F.col(vec_col)
+    items = []
+    for cid, cvec in centroids:
+        ccol = F.array(*[F.lit(float(x)) for x in cvec])
+        cn = float(np.sqrt(_py_dot(cvec, cvec)))
+        cos = _dot(v, ccol) / (_norm(v) * F.lit(cn))
+        items.append(
+            F.struct((-cos).alias("nc"), F.lit(int(cid)).cast("long").alias("cid"))
+        )
+    return emb.withColumn(out, F.array_min(F.array(*items))["cid"])
+
+
+def write_ivf_partitioned(
+    emb: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the inverted file: assignment projection + parquet
+    partitioned by cell. Queries over ``spark.read.parquet(path)`` with
+    ``cell_col="cell"`` prune to nprobe directories at plan time."""
+    with_ivf_cell(emb, centroids, vec_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivf_probe_cells(
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    nprobe: int,
+) -> list[int]:
+    """The ``nprobe`` cells nearest the query by (cosine desc, cent_id
+    asc) — driver-side over the tiny centroid list, same fold order as
+    the engines (:func:`_py_dot`)."""
+    q = [float(x) for x in query_vec]
+    qn = float(np.sqrt(_py_dot(q, q)))
+    scored = []
+    for cid, cvec in centroids:
+        cn = float(np.sqrt(_py_dot(cvec, cvec)))
+        scored.append((-(_py_dot(cvec, q) / (cn * qn)), cid))
+    scored.sort()
+    return [cid for _, cid in scored[: int(nprobe)]]
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -320,49 +407,29 @@ def ivf_cosine_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    cell_col: str | None = None,
 ) -> DataFrame:
-    """IVF-flat ANN: assign every vector to its nearest coarse centroid
-    (inverted lists), probe only the ``nprobe`` cells nearest the query,
-    brute-force cosine inside them. The centroid set is the
-    ``n_centroids`` lowest-id embeddings — a deterministic,
-    SQL-replayable coarse quantizer (production swaps in k-means
-    centroids; the query path is identical). Assignment tiebreak:
-    (cosine desc, centroid id asc).
+    """IVF-flat ANN: probe only the ``nprobe`` cells nearest the query,
+    brute-force cosine inside them. Assignment tiebreak: (cosine desc,
+    centroid id asc); probe ordering likewise.
 
-    Plan: centroids broadcast (tiny) -> cross join + window argmax for
-    assignment -> semi-join on probed cells -> TakeOrdered top-k. At
-    100 TB the assignment is computed ONCE at ingest and stored as a
-    partition column (cell-partitioned parquet), making a query a
-    partition-pruned scan of nprobe cells; the pandas_udf matmul
-    (cosine_topk_fast) is the assignment kernel at that scale."""
-    from pyspark.sql import Window
-
-    v = F.col(vec_col)
-    cents = (
-        emb.orderBy(F.col(id_col).asc())
-        .limit(int(n_centroids))
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
-    )
-    cos_c = _dot(v, F.col("cvec")) / (_norm(v) * _norm(F.col("cvec")))
-    w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("cent_id").asc())
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("_cs", cos_c)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
-    )
+    Plan (round-3 rework — the round-2 version re-derived the centroid
+    lineage 3x, one full ``emb`` scan each): ``centroids`` are collected
+    ONCE (or passed in from ingest), probe cells are picked driver-side
+    over that tiny list, the assignment is the :func:`with_ivf_cell`
+    projection (skipped entirely when ``cell_col`` names a precomputed
+    ingest column), and the cell filter is a LITERAL ``isin`` — on
+    cell-partitioned parquet that is static partition pruning, so the
+    query scans nprobe cells and nothing else."""
     q = [float(x) for x in query_vec]
-    qn = float(np.sqrt(sum(x * x for x in q)))
-    qcol = F.array(*[F.lit(x) for x in q])
-    qcos = _dot(F.col("cvec"), qcol) / (_norm(F.col("cvec")) * F.lit(qn))
-    probes = (
-        cents.withColumn("_qs", qcos)
-        .orderBy(F.col("_qs").desc(), F.col("cent_id").asc())
-        .limit(int(nprobe))
-        .select(F.col("cent_id").alias("cell"))
-    )
-    cand = assigned.join(F.broadcast(probes), "cell", "left_semi")
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    probe = ivf_probe_cells(centroids, q, nprobe)
+    if cell_col is None:
+        emb = with_ivf_cell(emb, centroids, vec_col, out="cell")
+        cell_col = "cell"
+    cand = emb.filter(F.col(cell_col).isin([int(c) for c in probe]))
     return cosine_topk(cand, q, k, id_col, vec_col)
 
 

@@ -601,6 +601,105 @@ def _media_features_sql() -> str:
     """
 
 
+# --- webgeo e2e: the north-rule pipeline (html -> byte-identical text
+# extraction -> geotag points -> tile rollup) as batch-replayable driver
+# queries. The html column is SYNTHESIZED identically in both engines
+# (string concat of constants, integer-derived decimal strings, and the
+# documents.text column), so extraction parity is checked end to end. ------
+
+WEBGEO_TILE_LEVEL = 4
+
+_HTML_PRE = '<html><head><meta name="geo.position" content="'
+_HTML_MID = (
+    '"><script type="text/js">var a = 1 && 2;</script>'
+    "<style>.x{color:red}</style></head><body><h1>Doc</h1><p>"
+)
+_HTML_POST = " &amp; &lt;tail&gt;</p><!-- hidden --></body></html>"
+
+
+def _doc_pages(spark, sf_dir):
+    """documents -> (doc_id, html): a geotagged page wrapping the doc
+    text, with script/style/comment blocks and entities to exercise
+    every extraction rule. Geo strings are integer-derived ('{n}.5'),
+    so string synthesis is byte-identical across engines."""
+    docs = _docs(spark, sf_dir)
+    lat_s = F.concat((F.col("doc_id") % 140 - 70).cast("string"), F.lit(".5"))
+    lon_s = F.concat(((F.col("doc_id") * 7) % 360 - 180).cast("string"), F.lit(".5"))
+    html = F.concat(
+        F.lit(_HTML_PRE), lat_s, F.lit(";"), lon_s, F.lit(_HTML_MID),
+        F.col("text"), F.lit(_HTML_POST),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+_DOC_PAGES_SQL = (
+    "(SELECT doc_id, '" + _HTML_PRE.replace("'", "''") + "'"
+    " || (doc_id % 140 - 70)::VARCHAR || '.5' || ';'"
+    " || ((doc_id * 7) % 360 - 180)::VARCHAR || '.5'"
+    " || '" + _HTML_MID.replace("'", "''") + "'"
+    " || text || '" + _HTML_POST.replace("'", "''") + "' AS html"
+    " FROM documents)"
+)
+
+
+def q_webgeo_extract_docs(spark, sf_dir):
+    """North-rule extraction stage, oracle-checked per row: md5 of the
+    extracted text (byte-identity — any single-byte drift flips the
+    hash) + the parsed geotag lon/lat."""
+    from geo_index_spark.webtext.extract import extract_text_col, geotag_col
+
+    pages = _doc_pages(spark, sf_dir)
+    lon, lat = geotag_col(F.col("html"))
+    return pages.select(
+        "doc_id",
+        F.md5(extract_text_col(F.col("html")).cast("binary")).alias("text_md5"),
+        lon.alias("x"),
+        lat.alias("y"),
+    )
+
+
+def q_webgeo_tile_rollup(spark, sf_dir):
+    """The pipeline's batch shape end to end: extract_points over the
+    synthesized pages -> quad tile rollup (pipeline/webgeo.py stages 2+4
+    replayed as one batch query)."""
+    from geo_index_spark.webtext.extract import extract_points
+
+    pages = _doc_pages(spark, sf_dir)
+    pts = extract_points(pages, url_col="doc_id")
+    cell = quad_cell_col(F.col("x"), F.col("y"), WEBGEO_TILE_LEVEL)
+    return pts.groupBy(cell.alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("x"), 4).alias("sum_x")
+    )
+
+
+def _webgeo_extract_sql() -> str:
+    from geo_index_spark.webtext.extract import extract_text_sql, geotag_sql
+
+    lon, lat = geotag_sql("html")
+    return f"""
+    WITH h AS (SELECT * FROM {_DOC_PAGES_SQL})
+    SELECT doc_id, md5({extract_text_sql('html')}) AS text_md5,
+           {lon} AS x, {lat} AS y
+    FROM h
+    """
+
+
+def _webgeo_tile_rollup_sql() -> str:
+    from geo_index_spark.webtext.extract import geotag_sql
+
+    lon, lat = geotag_sql("html")
+    cell = quad_cell_sql("x", "y", WEBGEO_TILE_LEVEL, (-180.0, -90.0, 180.0, 90.0))
+    return f"""
+    WITH h AS (SELECT * FROM {_DOC_PAGES_SQL}),
+    pts AS (
+      SELECT doc_id, {lon} AS x, {lat} AS y FROM h
+    ),
+    p AS (SELECT * FROM pts WHERE x IS NOT NULL AND y IS NOT NULL)
+    SELECT {cell} AS cell_id, count(*) AS n, round(sum(x), 4) AS sum_x
+    FROM p GROUP BY 1
+    """
+
+
 def q_events_hourly_rollup(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -753,6 +852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haversine_join_events": q_haversine_join_events,
         "haversine_join_dateline": q_haversine_join_dateline,
         "zonal_stats_rect": q_zonal_stats_rect,
+        "webgeo_extract_docs": q_webgeo_extract_docs,
+        "webgeo_tile_rollup": q_webgeo_tile_rollup,
         "sessionize_events": q_sessionize_events,
         "events_hourly_rollup": q_events_hourly_rollup,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -935,6 +1036,8 @@ def oracle_sql() -> dict[str, str]:
               ON e.x >= zminx AND e.x <= zmaxx AND e.y >= zminy AND e.y <= zmaxy
             GROUP BY zone_id
         """,
+        "webgeo_extract_docs": _webgeo_extract_sql(),
+        "webgeo_tile_rollup": _webgeo_tile_rollup_sql(),
         "sessionize_events": __import__(
             "geo_index_spark.operators.sessions", fromlist=["sessionize_sql"]
         ).sessionize_sql(gap_seconds=600, tiebreak_col="event_id"),

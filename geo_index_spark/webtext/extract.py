@@ -80,6 +80,34 @@ def geotag_col(html: Column) -> tuple[Column, Column]:
     return lon, lat
 
 
+def _sq(s: str) -> str:
+    """Escape a string for a single-quoted SQL literal."""
+    return s.replace("'", "''")
+
+
+def extract_text_sql(col: str) -> str:
+    """DuckDB mirror of :func:`extract_text_col` — the SAME regex
+    constants (all RE2-compatible by design, see module docstring), the
+    same order, global replacement ('g'), so extracted text is
+    byte-identical across engines. ``col`` is a VARCHAR expression."""
+    s = col
+    for pat in (_SCRIPT, _STYLE, _COMMENT):
+        s = f"regexp_replace({s}, '{_sq(pat)}', '', 'g')"
+    s = f"regexp_replace({s}, '{_sq(_TAG)}', ' ', 'g')"
+    for ent, ch in _ENTITIES:
+        s = f"replace({s}, '{_sq(ent)}', '{_sq(ch)}')"
+    s = f"regexp_replace({s}, '{_sq(_WS)}', ' ', 'g')"
+    return f"trim({s}, ' ')"
+
+
+def geotag_sql(col: str) -> tuple[str, str]:
+    """(x=lon, y=lat) DOUBLE expressions — DuckDB mirror of
+    :func:`geotag_col` (same regex, same empty->NULL contract)."""
+    lat = f"nullif(regexp_extract({col}, '{_sq(_GEOTAG)}', 1), '')::DOUBLE"
+    lon = f"nullif(regexp_extract({col}, '{_sq(_GEOTAG)}', 2), '')::DOUBLE"
+    return lon, lat
+
+
 def extract_points(pages, url_col: str = "url", html_col: str = "html"):
     """pages(url, html, ...) -> points(url, x, y) for geotagged pages —
     the derived geometry table of SURVEY.md §1.2."""

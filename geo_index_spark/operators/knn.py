@@ -200,7 +200,11 @@ def knn_geometry(
     exact distance D; any true top-k row has exact <= D and bbox lower
     bound <= exact, so (2) ``filter(lb <= D)`` is a complete candidate
     set — the exact distance is then computed only on candidates and
-    merged with the same (dist, id) tiebreak. Both phases are pure
+    merged with the same (dist, id) tiebreak. The phase-1 collect is k
+    SCALARS (not data rows) — driver-tiny at any scale — but it does
+    serialize two jobs per query; ``two_phase=False`` trades the prune
+    for a single full-scan job when query latency matters more than
+    scan cost. Both phases are pure
     Catalyst for geometries up to ``MAX_CODEGEN_EDGES`` edges; larger
     geometries switch the exact distance to the Arrow-batched numpy
     kernel (same formula, so results agree to IEEE-double exactness —

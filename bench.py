@@ -217,6 +217,21 @@ def main() -> None:
     q = [round(float(v), 4) for v in np.random.default_rng(0).standard_normal(64)]
     timed("cosine_topk", lambda: A.cosine_topk(emb, q, 25).collect())
 
+    # 10. bucketed embedding near-dup pairs at a row count where the
+    # all-pairs twin is infeasible (100k vectors -> 5e9 pairs): Arrow
+    # matmul band keys + banded candidates + Arrow cosine refine. The
+    # oracle-grade HOF twin is driver-gated (lsh_near_dup_emb); this
+    # benches the production kernel.
+    from geo_index_spark.benchwork import synth_embeddings
+
+    semb = synth_embeddings(spark, 100_000, 32)
+    timed(
+        "lsh_near_dup_synth_fast",
+        lambda: A.lsh_cosine_near_dup_pairs_fast(
+            semb, tau=0.95, dim=32, n_bands=4, n_planes=16
+        ).count(),
+    )
+
     # host-weather normalization: divide throughputs by cpu_factor to
     # compare round-over-round (cpu_factor > 1 = this host ran slower
     # than the evidence-run host)

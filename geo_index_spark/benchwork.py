@@ -131,6 +131,23 @@ def synth_points(spark, n: int):
     )
 
 
+def synth_embeddings(spark, n: int, dim: int = 32):
+    """Deterministic JVM-side embedding table (uniform in [-1, 1]^dim
+    via xxhash64 — no driver data, no disk) for benchmarking the
+    bucketed near-dup path at row counts where all-pairs is infeasible
+    (n=100k -> 5e9 pairs)."""
+    cols = [
+        (
+            F.pmod(F.xxhash64("id", F.lit(j)), F.lit(1_000_000)) / 500000.0 - 1.0
+        ).alias(f"c{j}")
+        for j in range(dim)
+    ]
+    base = spark.range(n).select(F.col("id").alias("vec_id"), *cols)
+    return base.select(
+        "vec_id", F.array(*[F.col(f"c{j}") for j in range(dim)]).alias("embedding")
+    )
+
+
 def synth_boxes(spark, n: int, eps: float = SYNTH_EPS):
     """(boxes, points) for the synthetic self-join workload."""
     pts = synth_points(spark, n)

@@ -27,6 +27,12 @@ from geo_index_spark.textops.ann import (  # noqa: F401
     cosine_near_dup_pairs,
     cosine_topk,
     cosine_topk_fast,
+    ivf_centroids,
     ivf_cosine_topk,
+    lsh_cosine_near_dup_pairs,
+    lsh_cosine_near_dup_pairs_fast,
     lsh_cosine_topk,
+    with_ivf_cell,
+    with_lsh_band_keys,
+    write_ivf_partitioned,
 )

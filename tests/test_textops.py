@@ -389,3 +389,44 @@ class TestIvfIngestCells:
             ).select("cell").distinct().collect()
         }
         assert got_cells <= probe
+
+
+class TestLshNearDupFastTwin:
+    """Arrow fast path vs oracle-grade HOF twin — same planes, same
+    banding, equal results on non-adversarial data."""
+
+    def test_keys_and_pairs_match_oracle_grade(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+        from geo_index_spark.textops.ann import (
+            lsh_cosine_near_dup_pairs,
+            lsh_cosine_near_dup_pairs_fast,
+            with_lsh_band_keys,
+            with_lsh_band_keys_fast,
+        )
+
+        rng = np.random.default_rng(31)
+        base = rng.standard_normal((15, 24))
+        vecs = list(base) + [b + rng.standard_normal(24) * 0.03 for b in base]
+        rows = [(i, [float(v) for v in x]) for i, x in enumerate(vecs)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        slow = {
+            r.vec_id: r.bands
+            for r in with_lsh_band_keys(emb, 24, 4, 6).select("vec_id", "bands").collect()
+        }
+        fast = {
+            r.vec_id: r.bands
+            for r in with_lsh_band_keys_fast(emb, 24, 4, 6).select("vec_id", "bands").collect()
+        }
+        assert slow == fast
+
+        p_slow = sorted(
+            (r.a_id, r.b_id)
+            for r in lsh_cosine_near_dup_pairs(emb, 0.9, 24, 4, 6).collect()
+        )
+        p_fast = sorted(
+            (r.a_id, r.b_id)
+            for r in lsh_cosine_near_dup_pairs_fast(emb, 0.9, 24, 4, 6).collect()
+        )
+        assert p_slow == p_fast and len(p_fast) >= 10

@@ -261,6 +261,25 @@ def q_knn_join_parts_events(spark, sf_dir):
     return out.select("left_id", "right_id", F.round(F.col("dist"), 6).alias("dist_r"))
 
 
+KNN_JOIN_MAX_DIST = 2.5
+
+
+def q_knn_join_maxdist_events(spark, sf_dir):
+    """knn_join with the reference's inclusive max_distance prune
+    (src/rtree/trait.rs:261): up to 3 neighbors within 2.5 units —
+    some lefts get fewer than k rows, some get zero."""
+    from geo_index_spark.operators.knn import knn_join
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("row_id"),
+        (F.col("p_size").cast("double") + F.lit(1.5)).alias("x"),
+        (F.col("p_retailprice") / 10.0 + F.lit(1.5)).alias("y"),
+    )
+    ev = _events_pts(spark, sf_dir).withColumnRenamed("event_id", "row_id")
+    out = knn_join(p, ev, 3, max_distance=KNN_JOIN_MAX_DIST)
+    return out.select("left_id", "right_id", F.round(F.col("dist"), 6).alias("dist_r"))
+
+
 def q_knn_join_haversine_events(spark, sf_dir):
     """kNN join, haversine metric (meters over lon/lat): every 20th
     event point's 3 nearest geo neighbors — wrap-aware degree-box
@@ -842,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_events_parts": q_spatial_join_events_parts,
         "knn_boxes_parts": q_knn_boxes_parts,
         "knn_join_parts_events": q_knn_join_parts_events,
+        "knn_join_maxdist_events": q_knn_join_maxdist_events,
         "knn_join_haversine_events": q_knn_join_haversine_events,
         "knn_geometry_events": q_knn_geometry_events,
         "knn_polygon_events": q_knn_polygon_events,
@@ -982,6 +1002,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey AS id, p_size::DOUBLE + 1.5 AS x,"
             " p_retailprice / 10.0 + 1.5 AS y FROM part",
             "SELECT event_id AS id, value AS x, user_id::DOUBLE AS y FROM events",
+        ),
+        "knn_join_maxdist_events": __import__(
+            "geo_index_spark.operators.knn", fromlist=["knn_join_sql"]
+        ).knn_join_sql(
+            3,
+            "SELECT p_partkey AS id, p_size::DOUBLE + 1.5 AS x,"
+            " p_retailprice / 10.0 + 1.5 AS y FROM part",
+            "SELECT event_id AS id, value AS x, user_id::DOUBLE AS y FROM events",
+            max_distance=KNN_JOIN_MAX_DIST,
         ),
         "knn_join_haversine_events": __import__(
             "geo_index_spark.operators.knn", fromlist=["knn_join_sql"]

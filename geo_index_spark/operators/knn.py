@@ -254,10 +254,16 @@ def knn_join(
     init_radius: float | None = None,
     max_rounds: int = 16,
     metric: str = "euclidean",
+    max_distance: float | None = None,
 ) -> DataFrame:
     """EXACT distributed kNN join: for every left point, its ``k``
     nearest right points — (left_id, right_id, dist), per-left ascending
-    (dist, right_id). The workhorse the reference runs as a per-query
+    (dist, right_id). ``max_distance`` prunes INCLUSIVELY like the
+    reference's ``neighbors`` (src/rtree/trait.rs:261): each left gets
+    up to k rows with dist <= max_distance (possibly fewer, possibly
+    zero). Internally it caps the certification radius — once the
+    candidate box covers the max_distance ball, every eligible right is
+    a candidate and all remaining lefts certify unconditionally. The workhorse the reference runs as a per-query
     loop over ``neighbors`` (src/rtree/trait.rs:198-302), re-expressed
     as a bulk operator.
 
@@ -333,9 +339,15 @@ def knn_join(
             else:
                 init_radius = ext * density
     extent = max(bounds[2] - bounds[0], bounds[3] - bounds[1], 1e-12)
-    # radius covering the whole domain: every right point is a candidate
+    # radius covering the whole domain: every right point is a candidate.
+    # With max_distance, covering the max_d ball is just as final: the
+    # dist <= max_d residual makes the candidate set complete, so the
+    # cover radius shrinks to max_distance (same unconditional certify).
     cover_r = math.pi * R_EARTH if metric == "haversine" else extent
+    if max_distance is not None:
+        cover_r = min(cover_r, float(max_distance))
     r = max(float(init_radius), cover_r / (1 << 20))
+    r = min(r, cover_r) if max_distance is not None else r
 
     remaining = lpts.localCheckpoint()
     parts: list[DataFrame] = []
@@ -374,9 +386,11 @@ def knn_join(
             dx = F.col("l_px") - F.col("r_qx")
             dy = F.col("l_py") - F.col("r_qy")
             d = F.sqrt(dx * dx + dy * dy)
+        scored = cand.withColumn("dist", d)
+        if max_distance is not None:
+            scored = scored.filter(F.col("dist") <= F.lit(float(max_distance)))
         top = (
-            cand.withColumn("dist", d)
-            .withColumn("rn", F.row_number().over(w))
+            scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= F.lit(int(k)))
             .select("left_id", "right_id", "dist")
         )
@@ -412,6 +426,7 @@ def knn_join_sql(
     left_id: str = "left_id",
     right_id: str = "right_id",
     metric: str = "euclidean",
+    max_distance: float | None = None,
 ) -> str:
     """DuckDB mirror of :func:`knn_join` (brute-force cross join +
     window — oracle scale only). ``left_sql``/``right_sql`` must yield
@@ -438,7 +453,7 @@ def knn_join_sql(
       FROM l CROSS JOIN r
     )
     SELECT {left_id}, {right_id}, round(dist, 6) AS dist_r
-    FROM scored WHERE rn <= {int(k)}
+    FROM scored WHERE rn <= {int(k)}{'' if max_distance is None else f' AND dist <= {float(max_distance)!r}'}
     """
 
 

@@ -497,3 +497,42 @@ def test_haversine_invalid_latitude_raises(spark):
     )
     with pytest.raises(Exception, match="(?i)lat"):
         distance_join(df, df, 50_000.0, metric="haversine").collect()
+
+
+def test_knn_join_max_distance(spark):
+    """Inclusive max_distance prune (reference neighbors trait.rs:261):
+    up to k rows per left, dist <= max_d; lefts in voids get fewer or
+    zero rows; euclidean + haversine vs brute force."""
+    import numpy as np
+    from geo_index_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(13)
+    rpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        np.column_stack([rng.uniform(0, 100, 150), rng.uniform(0, 100, 150)])
+    )]
+    # lefts: mix of in-cluster and far-void points (zero neighbors)
+    lpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        np.column_stack([rng.uniform(0, 100, 25), rng.uniform(0, 100, 25)])
+    )] + [(100, 500.0, 500.0), (101, -300.0, 50.0)]
+    ldf = spark.createDataFrame(lpts, "row_id long, x double, y double")
+    rdf = spark.createDataFrame(rpts, "row_id long, x double, y double")
+    max_d = 8.0
+    got = sorted(
+        (r.left_id, r.right_id, round(r.dist, 6))
+        for r in knn_join(ldf, rdf, 4, max_distance=max_d).collect()
+    )
+    brute = []
+    for lid, lx, ly in lpts:
+        ds = sorted(
+            (float(np.hypot(rx - lx, ry - ly)), rid) for rid, rx, ry in rpts
+        )
+        brute.extend(
+            (lid, rid, round(d, 6)) for d, rid in ds[:4] if d <= max_d
+        )
+    assert got == sorted(brute)
+    # the fixture must exercise partial and empty lefts
+    per_left = {}
+    for lid, _, _ in got:
+        per_left[lid] = per_left.get(lid, 0) + 1
+    assert 100 not in per_left and 101 not in per_left
+    assert any(c < 4 for c in per_left.values())

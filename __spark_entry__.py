@@ -195,6 +195,19 @@ def q_partition_boxes_events(spark, sf_dir):
     return partition_boxes(p, cols=("x", "y"))
 
 
+BOXES_LEVEL = 2
+
+
+def q_boxes_level_events(spark, sf_dir):
+    """X1 boxes_at_level as its own oracle slot (was pytest-equivalence
+    only): level-2 bbox unions of groups of node_size^2 consecutive
+    items in Hilbert order (reference src/rtree/trait.rs:95-108)."""
+    from geo_index_spark.operators import boxes_at_level
+
+    pts = _events_pts(spark, sf_dir).withColumnRenamed("event_id", "row_id")
+    return boxes_at_level(pts, NODE_SIZE, BOXES_LEVEL, cols=("x", "y"))
+
+
 def q_tile_events(spark, sf_dir):
     """North rule: S2-style quad tile assignment (operators/tiling.py spec)."""
     pts = _events_pts(spark, sf_dir)
@@ -847,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_events": q_hilbert_events,
         "partitions_events": q_partitions_events,
         "partition_boxes_events": q_partition_boxes_events,
+        "boxes_level_events": q_boxes_level_events,
         "tile_events": q_tile_events,
         "tile_rollup_events": q_tile_rollup_events,
         "tile_pyramid_events": q_tile_pyramid_events,
@@ -949,6 +963,18 @@ def oracle_sql() -> dict[str, str]:
             p AS (
               SELECT h.event_id,
                      ((row_number() OVER (ORDER BY h.hilbert, h.event_id) - 1) // {NODE_SIZE})::BIGINT AS partition_id
+              FROM h
+            )
+            SELECT p.partition_id, min(e.x) AS minx, min(e.y) AS miny,
+                   max(e.x) AS maxx, max(e.y) AS maxy
+            FROM p JOIN {_EV_PTS} e ON e.event_id = p.event_id
+            GROUP BY p.partition_id ORDER BY p.partition_id
+        """,
+        "boxes_level_events": f"""
+            WITH h AS ({hil}),
+            p AS (
+              SELECT h.event_id,
+                     ((row_number() OVER (ORDER BY h.hilbert, h.event_id) - 1) // {NODE_SIZE**BOXES_LEVEL})::BIGINT AS partition_id
               FROM h
             )
             SELECT p.partition_id, min(e.x) AS minx, min(e.y) AS miny,

@@ -163,6 +163,20 @@ def q_knn_events(spark, sf_dir):
     return out.select("event_id", F.round(F.col("dist"), 6).alias("dist_r"))
 
 
+WITHIN_GEO_Q = (179.5, 60.0, 500_000.0)  # near the dateline — wrap exercised
+
+
+def q_within_haversine_events(spark, sf_dir):
+    """Q8 with the haversine metric (meters radius on WGS84), query
+    point near +-180 so the pushable lon prefilter is the OR of two
+    wrapped ranges."""
+    from geo_index_spark.operators.search import within_geo
+
+    pts = _geo_pts(spark, sf_dir)
+    qlon, qlat, r = WITHIN_GEO_Q
+    return within_geo(pts, qlon, qlat, r).select("event_id")
+
+
 def q_knn_haversine_events(spark, sf_dir):
     """Q4: kNN with haversine metric (reference src/rtree/distance.rs:35-125)."""
     pts = _geo_pts(spark, sf_dir)
@@ -855,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox_events": q_bbox_events,
         "within_events": q_within_events,
+        "within_haversine_events": q_within_haversine_events,
         "knn_events": q_knn_events,
         "knn_haversine_events": q_knn_haversine_events,
         "hilbert_events": q_hilbert_events,
@@ -933,6 +948,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id FROM {_EV_PTS}
             WHERE x >= 210 AND x <= 290 AND y >= 35 AND y <= 115
               AND (x - 250.0)*(x - 250.0) + (y - 75.0)*(y - 75.0) <= 1600.0
+        """,
+        "within_haversine_events": f"""
+            SELECT event_id FROM {GEO_PTS_SQL}
+            WHERE 2.0 * 6378137.0 * asin(sqrt(least(1.0,
+                    pow(sin(radians(y - {WITHIN_GEO_Q[1]!r}) / 2), 2)
+                    + cos(radians({WITHIN_GEO_Q[1]!r})) * cos(radians(y))
+                      * pow(sin(radians(x - {WITHIN_GEO_Q[0]!r}) / 2), 2)
+                  ))) <= {WITHIN_GEO_Q[2]!r}
         """,
         "knn_events": f"""
             SELECT event_id, round(sqrt((x-123.45)*(x-123.45) + (y-67.0)*(y-67.0)), 6) AS dist_r

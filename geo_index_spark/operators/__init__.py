@@ -12,7 +12,12 @@ from geo_index_spark.operators.partitioning import (  # noqa: F401
     partitions,
     boxes_at_level,
 )
-from geo_index_spark.operators.search import bbox_search, kd_range, within  # noqa: F401
+from geo_index_spark.operators.search import (  # noqa: F401
+    bbox_search,
+    kd_range,
+    within,
+    within_geo,
+)
 from geo_index_spark.operators.knn import (  # noqa: F401
     knn,
     knn_boxes,

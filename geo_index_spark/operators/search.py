@@ -73,3 +73,58 @@ def within(
     )
     circle = (x - F.lit(qx)) * (x - F.lit(qx)) + (y - F.lit(qy)) * (y - F.lit(qy)) <= F.lit(r * r)
     return df.filter(bbox & circle)
+
+
+def within_geo(
+    df: DataFrame,
+    qlon: float,
+    qlat: float,
+    radius_m: float,
+    cols: tuple[str, str] = ("x", "y"),
+) -> DataFrame:
+    """Q8 with the haversine metric: all points within ``radius_m``
+    METERS of (qlon, qlat) on the WGS84 sphere (inclusive), the radius
+    twin of ``knn(metric="haversine")``.
+
+    The prefilter is the same provably-containing degree box as
+    operators/join.haversine_box_expand, but the query point is a
+    LITERAL, so dlat/dlon fold to Python floats and the box is pushable
+    range predicates on the scan (Hilbert-clustered storage prunes row
+    groups). A window crossing +-180 becomes an OR of the two wrapped
+    lon ranges (still pushable); the exact haversine test is the
+    residual. Requires |qlat| <= 90."""
+    import math
+
+    from geo_index_spark.operators.knn import EARTH_RADIUS_M, haversine_dist_col
+
+    if abs(float(qlat)) > 90.0:
+        raise ValueError("within_geo requires |qlat| <= 90")
+    x, y = (F.col(c) for c in cols)
+    qlon, qlat, r = float(qlon), float(qlat), float(radius_m)
+    theta = r / EARTH_RADIUS_M
+    dlat = math.degrees(theta)
+    lat_pred = (y >= F.lit(qlat - dlat)) & (y <= F.lit(qlat + dlat))
+    if abs(qlat) + dlat >= 90.0:
+        dlon = 180.0
+    else:
+        denom = math.cos(math.radians(qlat)) * math.cos(
+            min(math.pi / 2, abs(math.radians(qlat)) + theta)
+        )
+        dlon = (
+            180.0
+            if denom <= 0.0
+            else math.degrees(
+                2.0 * math.asin(min(1.0, math.sin(theta / 2.0) / math.sqrt(denom)))
+            )
+        )
+    lo, hi = qlon - dlon, qlon + dlon
+    if dlon >= 180.0:
+        lon_pred = F.lit(True)
+    elif lo < -180.0:  # wraps west: [-180, hi] U [lo + 360, 180]
+        lon_pred = (x <= F.lit(hi)) | (x >= F.lit(lo + 360.0))
+    elif hi > 180.0:  # wraps east: [lo, 180] U [-180, hi - 360]
+        lon_pred = (x >= F.lit(lo)) | (x <= F.lit(hi - 360.0))
+    else:
+        lon_pred = (x >= F.lit(lo)) & (x <= F.lit(hi))
+    d = haversine_dist_col(x, y, qlon, qlat)
+    return df.filter(lat_pred & lon_pred & (d <= F.lit(r)))

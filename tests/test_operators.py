@@ -536,3 +536,32 @@ def test_knn_join_max_distance(spark):
         per_left[lid] = per_left.get(lid, 0) + 1
     assert 100 not in per_left and 101 not in per_left
     assert any(c < 4 for c in per_left.values())
+
+
+def test_within_geo_matches_bruteforce_incl_dateline(spark):
+    """Haversine radius query: degree-box prefilter (wrapped lon OR
+    when the window crosses +-180) + exact residual == brute force."""
+    import numpy as np
+    from geo_index_spark.operators.search import within_geo
+
+    rng = np.random.default_rng(17)
+    lon = np.concatenate([rng.uniform(-180, 180, 200),
+                          rng.uniform(178, 180, 40), rng.uniform(-180, -178, 40)])
+    lat = rng.uniform(-85, 85, 280)
+    pts = [(i, float(a), float(b)) for i, (a, b) in enumerate(np.column_stack([lon, lat]))]
+    df = spark.createDataFrame(pts, "row_id long, x double, y double")
+    R = 6378137.0
+
+    def hav(lx, ly, rx, ry):
+        h = (np.sin(np.radians(ry - ly) / 2) ** 2
+             + np.cos(np.radians(ly)) * np.cos(np.radians(ry))
+             * np.sin(np.radians(rx - lx) / 2) ** 2)
+        return 2.0 * R * np.arcsin(np.sqrt(min(1.0, h)))
+
+    for qlon, qlat, r in [(179.3, 50.0, 400_000.0), (0.0, 87.0, 600_000.0), (-30.0, 10.0, 250_000.0)]:
+        got = {row.row_id for row in within_geo(df, qlon, qlat, r).collect()}
+        want = {i for i, x, y in pts if hav(qlon, qlat, x, y) <= r}
+        assert got == want, (qlon, qlat, r)
+    # dateline query must actually return points on both sides
+    got = [(pts[i][1]) for i in sorted({row.row_id for row in within_geo(df, 179.9, 50.0, 300_000.0).collect()})]
+    assert any(v > 0 for v in got) and any(v < 0 for v in got)

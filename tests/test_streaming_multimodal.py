@@ -183,3 +183,54 @@ def test_stream_extract_pipeline_checkpoint_restart(spark, tmp_path):
         .collect()
     }
     assert got == want and got != first
+
+
+def test_stream_exact_dedup_equals_batch(spark, tmp_path):
+    """Multi-batch streaming dedup (maxFilesPerTrigger=1) must converge
+    to the batch exact_dedup result regardless of micro-batching —
+    min-id keeper and total n_copies are order-insensitive folds."""
+    import pandas as pd
+
+    from geo_index_spark.streaming import stream_exact_dedup
+    from geo_index_spark.textops.dedup import exact_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # split into 4 files -> 4 micro-batches
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = docs.toPandas()
+    for i in range(4):
+        pdf[pdf["doc_id"] % 4 == i].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stream_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_updates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    upd = spark.sql("SELECT * FROM dedup_updates").toPandas()
+    # latest update per key = the row with the max n_copies (monotone)
+    final = upd.sort_values("n_copies").groupby("text_md5").tail(1)
+    got = {
+        (r.text_md5, int(r.doc_id), int(r.n_copies)) for r in final.itertuples()
+    }
+    want = {
+        (r.text_md5, int(r.doc_id), int(r.n_copies))
+        for r in exact_dedup(docs).collect()
+    }
+    assert got == want and len(want) > 0

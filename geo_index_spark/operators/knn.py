@@ -513,7 +513,11 @@ def knn(
     id_col: str = "row_id",
     prefilter_radius: float | None = None,
 ) -> DataFrame:
-    """Top-k rows by (distance, id). Returns input columns + ``dist``."""
+    """Top-k rows by (distance, id). Returns input columns + ``dist``.
+    ``max_distance`` / ``prefilter_radius`` are in the metric's units
+    (coordinate units for euclidean, METERS for haversine); either one
+    turns the scan into a pushed-down window prune (haversine uses the
+    antimeridian-wrapped degree box)."""
     x, y = (F.col(c) for c in cols)
     if metric == "euclidean":
         d = euclidean_dist_col(x, y, qx, qy)
@@ -523,16 +527,25 @@ def knn(
         raise ValueError(f"unknown metric {metric}")
     out = df
     radius = prefilter_radius
-    if max_distance is not None and metric == "euclidean":
+    if max_distance is not None:
         radius = max_distance if radius is None else min(radius, max_distance)
     if radius is not None:
-        # pushed-down bbox window — prunes Hilbert-clustered row groups
-        out = out.filter(
-            (x >= F.lit(qx - radius))
-            & (x <= F.lit(qx + radius))
-            & (y >= F.lit(qy - radius))
-            & (y <= F.lit(qy + radius))
-        )
+        # pushed-down window — prunes Hilbert-clustered row groups.
+        # euclidean: coordinate-unit bbox; haversine: the literal
+        # degree-box (meters radius, antimeridian-wrapped OR) shared
+        # with within_geo — the prune that makes radius-capped geo kNN
+        # a partial scan instead of a full one.
+        if metric == "euclidean":
+            out = out.filter(
+                (x >= F.lit(qx - radius))
+                & (x <= F.lit(qx + radius))
+                & (y >= F.lit(qy - radius))
+                & (y <= F.lit(qy + radius))
+            )
+        else:
+            from geo_index_spark.operators.search import geo_prefilter_pred
+
+            out = out.filter(geo_prefilter_pred(x, y, qx, qy, radius))
     out = out.withColumn("dist", d)
     if max_distance is not None:
         out = out.filter(F.col("dist") <= F.lit(float(max_distance)))

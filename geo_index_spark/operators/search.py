@@ -93,13 +93,27 @@ def within_geo(
     groups). A window crossing +-180 becomes an OR of the two wrapped
     lon ranges (still pushable); the exact haversine test is the
     residual. Requires |qlat| <= 90."""
+    from geo_index_spark.operators.knn import haversine_dist_col
+
+    x, y = (F.col(c) for c in cols)
+    qlon, qlat, r = float(qlon), float(qlat), float(radius_m)
+    pred = geo_prefilter_pred(x, y, qlon, qlat, r)
+    d = haversine_dist_col(x, y, qlon, qlat)
+    return df.filter(pred & (d <= F.lit(r)))
+
+
+def geo_prefilter_pred(x, y, qlon: float, qlat: float, radius_m: float):
+    """Pushable degree-box predicate provably containing the haversine
+    ``radius_m`` ball around literal (qlon, qlat) — the literal-query
+    twin of join.haversine_box_expand, with the antimeridian handled as
+    an OR of the two wrapped lon ranges. Shared by :func:`within_geo`
+    and ``knn(metric="haversine", max_distance=...)``."""
     import math
 
-    from geo_index_spark.operators.knn import EARTH_RADIUS_M, haversine_dist_col
+    from geo_index_spark.operators.knn import EARTH_RADIUS_M
 
     if abs(float(qlat)) > 90.0:
-        raise ValueError("within_geo requires |qlat| <= 90")
-    x, y = (F.col(c) for c in cols)
+        raise ValueError("geo prefilter requires |qlat| <= 90")
     qlon, qlat, r = float(qlon), float(qlat), float(radius_m)
     theta = r / EARTH_RADIUS_M
     dlat = math.degrees(theta)
@@ -126,5 +140,4 @@ def within_geo(
         lon_pred = (x >= F.lit(lo)) | (x <= F.lit(hi - 360.0))
     else:
         lon_pred = (x >= F.lit(lo)) & (x <= F.lit(hi))
-    d = haversine_dist_col(x, y, qlon, qlat)
-    return df.filter(lat_pred & lon_pred & (d <= F.lit(r)))
+    return lat_pred & lon_pred

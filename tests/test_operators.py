@@ -565,3 +565,30 @@ def test_within_geo_matches_bruteforce_incl_dateline(spark):
     # dateline query must actually return points on both sides
     got = [(pts[i][1]) for i in sorted({row.row_id for row in within_geo(df, 179.9, 50.0, 300_000.0).collect()})]
     assert any(v > 0 for v in got) and any(v < 0 for v in got)
+
+
+def test_knn_haversine_max_distance_prefilter(spark):
+    """Radius-capped geo kNN: the degree-box prefilter (wrapped across
+    +-180) must not drop any true neighbor — parity vs unpruned,
+    including a dateline query point."""
+    import numpy as np
+    from geo_index_spark.operators.knn import knn
+
+    rng = np.random.default_rng(23)
+    lon = np.concatenate([rng.uniform(-180, 180, 150),
+                          rng.uniform(178, 180, 30), rng.uniform(-180, -178, 30)])
+    lat = rng.uniform(-85, 85, 210)
+    pts = [(i, float(a), float(b)) for i, (a, b) in enumerate(np.column_stack([lon, lat]))]
+    df = spark.createDataFrame(pts, "row_id long, x double, y double")
+    for qlon, qlat, maxd in [(179.8, 40.0, 800_000.0), (-30.0, 10.0, 2_000_000.0)]:
+        capped = [
+            (r.row_id, round(r.dist, 6))
+            for r in knn(df, qlon, qlat, 10, metric="haversine", max_distance=maxd).collect()
+        ]
+        full = [
+            (r.row_id, round(r.dist, 6))
+            for r in knn(df, qlon, qlat, 10, metric="haversine").collect()
+            if r.dist <= maxd
+        ]
+        assert capped == full
+        assert capped  # fixture must yield neighbors inside the cap

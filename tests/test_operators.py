@@ -592,3 +592,31 @@ def test_knn_haversine_max_distance_prefilter(spark):
         ]
         assert capped == full
         assert capped  # fixture must yield neighbors inside the cap
+
+
+def test_within_geo_prefilter_pushed_to_scan(spark, tmp_path):
+    """The degree-box prefilter (incl. the wrapped-lon OR) must reach
+    the parquet scan as PushedFilters — the claim that makes
+    radius-capped geo queries partial scans on clustered storage."""
+    import numpy as np
+    from geo_index_spark.operators.search import within_geo
+
+    rng = np.random.default_rng(29)
+    pts = [(i, float(a), float(b)) for i, (a, b) in enumerate(
+        np.column_stack([rng.uniform(-180, 180, 500), rng.uniform(-85, 85, 500)])
+    )]
+    path = str(tmp_path / "geo")
+    spark.createDataFrame(pts, "row_id long, x double, y double").write.parquet(path)
+    df = spark.read.parquet(path)
+    # PushedFilters rendering truncates at 100 chars by default
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+
+    plan = within_geo(df, 20.0, 40.0, 300_000.0)._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "GreaterThanOrEqual(x" in pushed and "LessThanOrEqual(x" in pushed
+    assert "GreaterThanOrEqual(y" in pushed and "LessThanOrEqual(y" in pushed
+
+    # dateline query: the lon OR must still push (Or of two ranges)
+    plan2 = within_geo(df, 179.9, 40.0, 300_000.0)._jdf.queryExecution().executedPlan().toString()
+    pushed2 = plan2.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "Or(" in pushed2 and "x" in pushed2

@@ -33,4 +33,8 @@ from geo_index_spark.operators.pip import (  # noqa: F401
     point_in_polygon_join,
     zonal_stats,
 )
-from geo_index_spark.operators.validate import drop_invalid, reject_invalid  # noqa: F401
+from geo_index_spark.operators.validate import (  # noqa: F401
+    drop_invalid,
+    reject_invalid,
+    sanitize_lonlat,
+)

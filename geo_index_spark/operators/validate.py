@@ -36,3 +36,51 @@ def drop_invalid(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
         k = F.col(c).isNotNull() & ~F.isnan(F.col(c))
         cond = k if cond is None else (cond & k)
     return df.filter(cond)
+
+
+def sanitize_lonlat(
+    df: DataFrame,
+    lon_col: str = "x",
+    lat_col: str = "y",
+    policy: str = "drop",
+) -> DataFrame:
+    """Normalize geographic coordinates into the domain the haversine
+    operators require (lon in [-180, 180], lat in [-90, 90] — the
+    degree-box expansion raises row-level on bad latitudes).
+
+    ``policy="drop"``: remove rows outside the valid ranges (after lon
+    normalization) — the web-crawl default. ``policy="wrap"``: fold any
+    finite lon into [-180, 180) with the IEEE remainder and KEEP rows,
+    dropping only invalid latitudes (a lon of 540 is almost always a
+    wrapped 180, while lat 95 is junk — wrapping latitude would move
+    points across the pole). ``policy="reject"``: fail fast with
+    counts, like :func:`reject_invalid`. NULL/NaN rows are dropped (or
+    rejected) under every policy."""
+    if policy not in ("drop", "wrap", "reject"):
+        raise ValueError(f"policy must be drop|wrap|reject, got {policy!r}")
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    out = df
+    if policy == "reject":
+        cnt = (
+            drop_invalid(df, (lon_col, lat_col))
+            .filter(
+                (lon < -180.0) | (lon > 180.0) | (lat < -90.0) | (lat > 90.0)
+            )
+            .count()
+        )
+        nulls = df.count() - drop_invalid(df, (lon_col, lat_col)).count()
+        if cnt or nulls:
+            raise ValueError(
+                f"coordinates outside WGS84 domain (out-of-range: {cnt}, "
+                f"null/NaN: {nulls})"
+            )
+        return df
+    out = drop_invalid(out, (lon_col, lat_col))
+    if policy == "wrap":
+        # ((lon % 360) + 360) % 360 in [0, 360) -> shift to [-180, 180)
+        norm = F.pmod(lon, F.lit(360.0))
+        wrapped = F.when(norm >= 180.0, norm - 360.0).otherwise(norm)
+        out = out.withColumn(lon_col, wrapped)
+    else:
+        out = out.filter((lon >= -180.0) & (lon <= 180.0))
+    return out.filter((lat >= -90.0) & (lat <= 90.0))

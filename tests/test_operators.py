@@ -620,3 +620,39 @@ def test_within_geo_prefilter_pushed_to_scan(spark, tmp_path):
     plan2 = within_geo(df, 179.9, 40.0, 300_000.0)._jdf.queryExecution().executedPlan().toString()
     pushed2 = plan2.split("PushedFilters:", 1)[1].splitlines()[0]
     assert "Or(" in pushed2 and "x" in pushed2
+
+
+def test_sanitize_lonlat_policies(spark):
+    """WGS84 domain sanitizer feeding the haversine operators: drop
+    removes out-of-range rows, wrap folds lon (keeping rows) but drops
+    junk latitudes, reject fails fast with counts."""
+    from geo_index_spark.operators.validate import sanitize_lonlat
+
+    rows = [
+        (0, 10.0, 45.0),      # valid
+        (1, 540.0, 20.0),     # lon wraps to 180
+        (2, -200.0, 10.0),    # lon wraps to 160
+        (3, 30.0, 95.0),      # junk latitude
+        (4, float("nan"), 5.0),
+        (5, None, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "row_id long, x double, y double")
+
+    dropped = {r.row_id for r in sanitize_lonlat(df, policy="drop").collect()}
+    assert dropped == {0}
+
+    wrapped = {r.row_id: r.x for r in sanitize_lonlat(df, policy="wrap").collect()}
+    assert set(wrapped) == {0, 1, 2}
+    assert wrapped[0] == 10.0 and wrapped[1] == -180.0 and wrapped[2] == 160.0
+
+    with pytest.raises(ValueError, match="WGS84"):
+        sanitize_lonlat(df, policy="reject")
+    ok = df.filter("row_id = 0")
+    assert sanitize_lonlat(ok, policy="reject").count() == 1
+
+    # sanitized output is accepted by the haversine operators
+    from geo_index_spark.operators.join import distance_join
+
+    clean = sanitize_lonlat(df, policy="wrap")
+    n = distance_join(clean, clean, 1_000.0, metric="haversine").count()
+    assert n >= 3  # at least the self-pairs

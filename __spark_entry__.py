@@ -568,6 +568,17 @@ def q_cluster_collapse_docs(spark, sf_dir):
     return D.collapse_near_dup_clusters(docs, pairs)
 
 
+def q_cluster_collapse_emb(spark, sf_dir):
+    """End-to-end EMBEDDING dedup: banded LSH near-dup pairs ->
+    connected-component collapse -> representatives — the full detect+
+    collapse pipeline a training-data run executes on vectors, every
+    stage exact-oracle-replayable (literal hyperplanes feed the
+    recursive-CTE closure)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = A.lsh_cosine_near_dup_pairs(emb, tau=COS_TAU, dim=64, n_bands=8, n_planes=8)
+    return D.collapse_near_dup_clusters(emb, pairs, id_col="vec_id")
+
+
 def q_lsh_ann_emb(spark, sf_dir):
     """Approximate top-k via random-hyperplane LSH buckets (multi-probe);
     approximate by design -> rows-only check, recall pytest-pinned."""
@@ -883,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_events": q_pip_join_events,
         "zonal_stats_poly": q_zonal_stats_poly,
         "cluster_collapse_docs": q_cluster_collapse_docs,
+        "cluster_collapse_emb": q_cluster_collapse_emb,
         "lsh_ann_emb": q_lsh_ann_emb,
         "ivf_ann_emb": q_ivf_ann_emb,
         "media_features": q_media_features,
@@ -1191,6 +1203,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cluster_collapse_docs": D.collapse_near_dup_clusters_sql(
             D.minhash_near_dup_pairs_sql(n=4, num_hashes=16, tau_num=jn, tau_den=jd)
+        ),
+        "cluster_collapse_emb": D.collapse_near_dup_clusters_sql(
+            A.lsh_cosine_near_dup_pairs_sql(tau=COS_TAU, dim=64, n_bands=8, n_planes=8),
+            id_col="vec_id",
+            table="embeddings",
         ),
         "lsh_ann_emb": A.lsh_cosine_topk_sql(
             ANN_QUERY, ANN_K, dim=64, n_planes=12, probe_hamming=3

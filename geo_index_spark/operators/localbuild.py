@@ -59,6 +59,7 @@ def build_partition_indexes(
     node_size: int = DEFAULT_NODE_SIZE,
     bounds: tuple[float, float, float, float] | None = None,
     tree_type: str = "rtree",
+    sort_method: str = "hilbert",
 ) -> DataFrame:
     """Hilbert-partition ``df`` and build one serialized local index per
     partition. Returns the index table (one row per non-empty partition).
@@ -69,9 +70,18 @@ def build_partition_indexes(
     coords + internal nodes), mirroring the reference where kdbush
     persistence is equally first-class (src/kdtree/index.rs:114-141).
     The probe side dispatches on the blob magic byte (0xfb vs 0xdb) —
-    the reference's CoordType/kind inference surface (X8)."""
+    the reference's CoordType/kind inference surface (X8).
+
+    ``sort_method`` picks the local leaf order for rtree blobs:
+    ``"hilbert"`` (default) or ``"str"`` — the reference's B3
+    sort-tile-recursive bulk load (src/rtree/sort/str.rs:16-100). The
+    blob layout and probe path are identical either way (leaf order is
+    a build-time choice, not a format change), so STR blobs flow
+    through the same search/within/knn probes."""
     if tree_type not in ("rtree", "kdtree"):
         raise ValueError(f"tree_type must be rtree|kdtree, got {tree_type!r}")
+    if sort_method not in ("hilbert", "str"):
+        raise ValueError(f"sort_method must be hilbert|str, got {sort_method!r}")
     point_mode = len(cols) == 2
     if tree_type == "kdtree" and not point_mode:
         raise ValueError("kdtree blobs index point tables; pass cols=(x, y)")
@@ -99,7 +109,7 @@ def build_partition_indexes(
                 axis=1,
             )
         if tree_type == "rtree":
-            fb = Flatbush(boxes, node_size=node_size)
+            fb = Flatbush(boxes, node_size=node_size, sort_method=sort_method)
             blob = fb.to_bytes()
             b = fb.bounds
         yield pa.RecordBatch.from_pydict(

@@ -50,13 +50,32 @@ def _norm(rows, cols):
     return out
 
 
-@pytest.mark.parametrize("name", sorted(E.queries().keys()))
+ALL_QUERIES = {**E.queries(), **E.validation_queries()}
+ALL_ORACLES = {**E.oracle_sql(), **E.validation_oracle_sql()}
+
+
+def test_registry_contract():
+    """Driver window invariants (round-3 verdict #1): the driver checks
+    at most 50 registry rows, so every registered query MUST sit inside
+    that window, names must not collide across the two dicts, and every
+    validation twin must carry an oracle (that's its whole job)."""
+    q = E.queries()
+    vq = E.validation_queries()
+    assert len(q) <= 50, f"queries() has {len(q)} entries — driver caps at 50"
+    assert not set(q) & set(vq), "query/validation name collision"
+    assert set(E.oracle_sql()) <= set(q), "oracle for an unregistered query"
+    assert set(E.validation_oracle_sql()) == set(vq), (
+        "every validation twin needs an oracle"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES.keys()))
 def test_query_matches_oracle(spark, con, name):
-    q = E.queries()[name]
+    q = ALL_QUERIES[name]
     sdf = q(spark, SF_DIR)
     srows = sdf.collect()
     scols = sdf.columns
-    osql = E.oracle_sql().get(name)
+    osql = ALL_ORACLES.get(name)
     if osql is None:
         # genuinely non-SQL ops: the driver's weaker rows-only check
         assert len(srows) >= 0 and len(scols) > 0

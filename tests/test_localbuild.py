@@ -153,3 +153,40 @@ def test_rtree_within_fallback_parity(spark):
 def test_kd_blob_requires_points(spark):
     with pytest.raises(ValueError):
         build_partition_indexes(data1_df(spark), 2, tree_type="kdtree")
+
+
+def test_str_blob_search_parity_boxes(spark):
+    """B3 driver path: STR-ordered flatbush blobs probed for a bbox must
+    return the same set as the plain scan AND as hilbert-ordered blobs
+    (leaf order is build-time only; reference src/rtree/sort/str.rs)."""
+    df = data1_df(spark)
+    want = {r.row_id for r in bbox_search(df, 40, 40, 60, 60).collect()}
+    idx = build_partition_indexes(df, 4, sort_method="str")
+    got = {r.row_id for r in search_partition_indexes(idx, 40, 40, 60, 60).collect()}
+    assert got == want and len(got) == 4
+    rows = idx.collect()
+    assert all(bytes(r.tree)[0] == 0xFB for r in rows)  # still flatbush v3
+    assert sum(r.num_items for r in rows) == 100
+
+
+@pytest.mark.parametrize("p", [1, 3, 8])
+def test_str_blob_search_parity_points(spark, p):
+    df = kdbush_df(spark)
+    idx = build_partition_indexes(df, p, cols=("x", "y"), sort_method="str")
+    got = {r.row_id for r in search_partition_indexes(idx, 20, 30, 50, 70).collect()}
+    want = {r.row_id for r in bbox_search(df, 20, 30, 50, 70, cols=("x", "y", "x", "y")).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_str_blob_knn_parity(spark):
+    """kNN probes are order-independent too: STR blobs == plain knn."""
+    df = kdbush_df(spark)
+    idx = build_partition_indexes(df, 4, cols=("x", "y"), sort_method="str")
+    got = [(r.row_id, round(r.dist, 9)) for r in knn_partition_indexes(idx, 50, 50, 10).collect()]
+    want = [(r.row_id, round(r.dist, 9)) for r in knn(kdbush_df(spark), 50, 50, 10).collect()]
+    assert got == want
+
+
+def test_bad_sort_method_raises(spark):
+    with pytest.raises(ValueError):
+        build_partition_indexes(data1_df(spark), 2, sort_method="zorder")

@@ -157,15 +157,28 @@ def ensure_media_parquet(path: str, n: int = 50, seed: int = 11) -> str:
     """Materialize :func:`fake_media_rows` as a single parquet file
     (idempotent, atomic rename) so Spark and a DuckDB oracle read
     IDENTICAL payload bytes from disk — input visibility was the only
-    blocker for an exact media_features oracle (round-2 verdict #3)."""
+    blocker for an exact media_features oracle (round-2 verdict #3).
+
+    Returns the REAL path, which embeds a content digest of the
+    generated rows: if the seed, FAKE header layout, or body generator
+    ever changes, the digest changes and a stale cache file is simply
+    ignored rather than silently feeding both engines outdated bytes
+    (ADVICE r3). Callers must use the returned path, not ``path``."""
+    import hashlib
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    rows = fake_media_rows(n, seed)
+    dig = hashlib.md5()
+    for _i, kind, payload in rows:
+        dig.update(kind.encode())
+        dig.update(payload)
+    base, ext = os.path.splitext(path)
+    path = f"{base}.{dig.hexdigest()[:10]}{ext}"
     if os.path.exists(path):
         return path
-    rows = fake_media_rows(n, seed)
     t = pa.table(
         {
             "media_id": pa.array([r[0] for r in rows], pa.int64()),

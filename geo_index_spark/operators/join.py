@@ -305,7 +305,12 @@ def haversine_box_expand(lat: Column, radius_m: float) -> tuple[float, Column]:
         F.least(F.lit(math.pi / 2), F.abs(F.radians(lat)) + F.lit(theta))
     )
     dlon_deg = F.when(
-        F.abs(lat) > 90.0,
+        # isnan disjunct: NaN compares false everywhere, so without it a
+        # NaN latitude would skate past the domain raise and silently
+        # produce NaN boxes that vanish from results (ADVICE r3). NULL
+        # latitudes still propagate NULL and drop at the join — run
+        # sanitize_lonlat first if that must be an error.
+        (F.abs(lat) > 90.0) | F.isnan(lat),
         F.raise_error(
             F.lit("haversine degree-box expansion requires |lat| <= 90")
         ).cast("double"),
@@ -349,14 +354,19 @@ def haversine_candidate_boxes(
             F.array(F.struct(F.lit(-180.0).alias("mnx"), F.lit(180.0).alias("mxx"))),
         )
         .when(
-            lo < -180.0,
+            # inclusive <=/>=: an endpoint landing EXACTLY on +-180
+            # emits the wrapped remainder as a DEGENERATE segment
+            # ([180,180] / [-180,-180]) so points stored as the other
+            # sign of the same meridian still match (ADVICE r3); the
+            # segments stay disjoint because dlon < 180 here
+            lo <= -180.0,
             F.array(
                 F.struct(F.lit(-180.0).alias("mnx"), hi.alias("mxx")),
                 F.struct((lo + 360.0).alias("mnx"), F.lit(180.0).alias("mxx")),
             ),
         )
         .when(
-            hi > 180.0,
+            hi >= 180.0,
             F.array(
                 F.struct(lo.alias("mnx"), F.lit(180.0).alias("mxx")),
                 F.struct(F.lit(-180.0).alias("mnx"), (hi - 360.0).alias("mxx")),

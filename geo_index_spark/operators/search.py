@@ -112,7 +112,7 @@ def geo_prefilter_pred(x, y, qlon: float, qlat: float, radius_m: float):
 
     from geo_index_spark.operators.knn import EARTH_RADIUS_M
 
-    if abs(float(qlat)) > 90.0:
+    if not (abs(float(qlat)) <= 90.0):  # NaN-safe: not(NaN <= 90) is True
         raise ValueError("geo prefilter requires |qlat| <= 90")
     qlon, qlat, r = float(qlon), float(qlat), float(radius_m)
     theta = r / EARTH_RADIUS_M
@@ -140,4 +140,13 @@ def geo_prefilter_pred(x, y, qlon: float, qlat: float, radius_m: float):
         lon_pred = (x >= F.lit(lo)) | (x <= F.lit(hi - 360.0))
     else:
         lon_pred = (x >= F.lit(lo)) & (x <= F.lit(hi))
+        # +180 and -180 name the same meridian: a window endpoint that
+        # lands EXACTLY on one sign must admit points stored as the
+        # other (ADVICE r3 — sanitize_lonlat canonicalizes 180 -> -180,
+        # but inputs that skipped sanitation may carry either sign, and
+        # the dlon bound is tight at the band's min-cos latitude)
+        if hi == 180.0:
+            lon_pred = lon_pred | (x == F.lit(-180.0))
+        if lo == -180.0:
+            lon_pred = lon_pred | (x == F.lit(180.0))
     return lat_pred & lon_pred

@@ -656,3 +656,118 @@ def test_sanitize_lonlat_policies(spark):
     clean = sanitize_lonlat(df, policy="wrap")
     n = distance_join(clean, clean, 1_000.0, metric="haversine").count()
     assert n >= 3  # at least the self-pairs
+
+
+def test_geo_prefilter_180_alias_admitted(spark):
+    """ADVICE r3: +-180 name the same meridian. When the prefilter
+    window's endpoint lands EXACTLY on 180 (hi == 180.0, constructible
+    because the literal-query dlon folds in Python floats), a point
+    stored as lon = -180 must still be admitted as a candidate — and
+    symmetrically for lo == -180 / lon = +180."""
+    import math
+
+    from geo_index_spark.operators.knn import EARTH_RADIUS_M
+    from geo_index_spark.operators.search import geo_prefilter_pred
+    from pyspark.sql import functions as F
+
+    r, qlat = 250_000.0, 40.0
+    # replicate geo_prefilter_pred's dlon so qlon + dlon == 180.0 exactly
+    theta = r / EARTH_RADIUS_M
+    denom = math.cos(math.radians(qlat)) * math.cos(
+        min(math.pi / 2, abs(math.radians(qlat)) + theta)
+    )
+    dlon = math.degrees(
+        2.0 * math.asin(min(1.0, math.sin(theta / 2.0) / math.sqrt(denom)))
+    )
+    df = spark.createDataFrame(
+        [(0, -180.0, qlat), (1, 180.0, qlat), (2, 0.0, qlat)],
+        "row_id long, x double, y double",
+    )
+    qlon_e = 180.0 - dlon
+    assert qlon_e + dlon == 180.0  # the exact-endpoint premise
+    got = {
+        r_.row_id
+        for r_ in df.filter(
+            geo_prefilter_pred(F.col("x"), F.col("y"), qlon_e, qlat, r)
+        ).collect()
+    }
+    assert got == {0, 1}  # -180 via the alias, +180 via the closed interval
+    qlon_w = -180.0 + dlon
+    assert qlon_w - dlon == -180.0
+    got_w = {
+        r_.row_id
+        for r_ in df.filter(
+            geo_prefilter_pred(F.col("x"), F.col("y"), qlon_w, qlat, r)
+        ).collect()
+    }
+    assert got_w == {0, 1}
+
+
+def test_haversine_join_exact_180_points(spark):
+    """Points stored at EXACTLY +180 and -180 (same meridian, both
+    signs) must pair across the representation: brute-force parity plus
+    no duplicate pairs (the wrapped segments stay disjoint even with
+    the inclusive >=/<= endpoints, ADVICE r3)."""
+    import numpy as np
+    from geo_index_spark.operators.join import distance_join
+
+    pts = [
+        (0, 180.0, 60.0),
+        (1, -180.0, 60.0),     # identical location, other sign
+        (2, 179.7, 60.2),
+        (3, -179.8, 59.9),
+        (4, 180.0, 59.5),
+        (5, -180.0, 60.5),
+        (6, 150.0, 60.0),      # far away
+    ]
+    df = spark.createDataFrame(pts, "row_id long, x double, y double")
+    r_m = 80_000.0
+    R = 6378137.0
+
+    def hav(lx, ly, rx, ry):
+        h = (
+            np.sin(np.radians(ry - ly) / 2) ** 2
+            + np.cos(np.radians(ly))
+            * np.cos(np.radians(ry))
+            * np.sin(np.radians(rx - lx) / 2) ** 2
+        )
+        return 2.0 * R * float(np.arcsin(np.sqrt(min(1.0, h))))
+
+    rows = distance_join(df, df, r_m, metric="haversine").collect()
+    got_list = [(r.left_id, r.right_id) for r in rows]
+    got = set(got_list)
+    assert len(got_list) == len(got), "duplicate pairs — wrapped segments overlap"
+    want = {
+        (i, j)
+        for i, lx, ly in pts
+        for j, rx, ry in pts
+        if hav(lx, ly, rx, ry) <= r_m
+    }
+    assert got == want
+    assert (0, 1) in got and (1, 0) in got  # the alias pair itself
+
+
+def test_haversine_nan_latitude_raises(spark):
+    """ADVICE r3: NaN latitudes must hit the domain raise (NaN
+    comparisons are false, so without the isnan disjunct they slid past
+    |lat| > 90 and silently vanished); NULL latitudes still drop."""
+    from geo_index_spark.operators.join import distance_join
+    from geo_index_spark.operators.search import within_geo
+
+    df = spark.createDataFrame(
+        [(0, 10.0, 45.0), (1, 11.0, float("nan"))], "row_id long, x double, y double"
+    )
+    with pytest.raises(Exception, match="(?i)lat"):
+        distance_join(df, df, 50_000.0, metric="haversine").collect()
+    # literal-side NaN: the python-float guard must also be NaN-safe
+    with pytest.raises(ValueError, match="qlat"):
+        within_geo(df, 10.0, float("nan"), 50_000.0)
+    # NULL rows propagate NULL and drop (documented policy)
+    df_null = spark.createDataFrame(
+        [(0, 10.0, 45.0), (1, 10.001, None)], "row_id long, x double, y double"
+    )
+    got = {
+        (r.left_id, r.right_id)
+        for r in distance_join(df_null, df_null, 50_000.0, metric="haversine").collect()
+    }
+    assert got == {(0, 0)}

@@ -234,3 +234,23 @@ def test_stream_exact_dedup_equals_batch(spark, tmp_path):
         for r in exact_dedup(docs).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_media_parquet_cache_versioned(tmp_path):
+    """ADVICE r3: the cache file name embeds a content digest, so a
+    changed seed/generator gets a fresh file instead of silently
+    reusing stale bytes; identical params reuse the existing file."""
+    import os
+
+    from geo_index_spark.multimodal import ensure_media_parquet
+
+    req = str(tmp_path / "media.parquet")
+    p1 = ensure_media_parquet(req, n=10, seed=1)
+    assert p1 != req and os.path.exists(p1)  # digest embedded in the name
+    mtime = os.path.getmtime(p1)
+    assert ensure_media_parquet(req, n=10, seed=1) == p1
+    assert os.path.getmtime(p1) == mtime  # reused, not rewritten
+    p2 = ensure_media_parquet(req, n=10, seed=2)
+    assert p2 != p1  # different generator output -> different cache file
+    p3 = ensure_media_parquet(req, n=11, seed=1)
+    assert p3 != p1

@@ -1,0 +1,157 @@
+"""Scaling-efficiency evidence for the round-3 heavy hitters
+(VERDICT r3 #3): the two operators a 100 TB user actually runs
+overnight —
+
+* exact kNN join: 1M left probes against an N-row right table (k=3,
+  certified-radius doubling rounds), and
+* bucketed LSH embedding near-dup pairs: M vectors x 32d through the
+  Arrow-matmul band-key + banded-candidate + exact-refine production
+  kernel (all-pairs at this size would be ~M^2/2 candidates).
+
+Same protocol as scripts/scaling_bench.py: identical job at local[8]
+vs local[32] on the same deterministic input, min-of-3 per leg,
+per-leg multicore weather probes, efficiency = thr(32) / (4 x thr(8)),
+appended to BENCH/BASELINE.md. Run SOLO.
+
+Usage: python scripts/scaling_bench_ops.py [n_points] [n_vectors]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from geo_index_spark.benchwork import (
+    CALIB_MT_REF_SEC,
+    cpu_calibration_mt_sec,
+)
+
+N_POINTS = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000_000
+N_VECS = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+LEFT_EVERY = 64  # 1M lefts at the 64M default
+KNN_K = 3
+LSH_KW = dict(tau=0.95, dim=32, n_bands=4, n_planes=16)
+
+JOB = r"""
+import json, sys, time
+from pyspark.sql import functions as F
+from geo_index_spark.session import get_spark
+from geo_index_spark.operators.knn import knn_join
+from geo_index_spark.textops.ann import lsh_cosine_near_dup_pairs_fast
+from geo_index_spark.benchwork import (
+    BENCH_CONF, SYNTH_BOUNDS, cpu_calibration_mt_sec, synth_points, synth_embeddings,
+)
+
+cpus = int(sys.argv[1]); n_pts = int(sys.argv[2]); n_vecs = int(sys.argv[3])
+left_every = int(sys.argv[4]); k = int(sys.argv[5]); lsh_kw = json.loads(sys.argv[6])
+calib_mt = cpu_calibration_mt_sec()
+spark = get_spark(
+    f"scale-ops-{cpus}",
+    master=f"local[{cpus}]",
+    shuffle_partitions=cpus * 8,
+    extra_conf=BENCH_CONF,
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+right = synth_points(spark, n_pts).persist()
+n_right = right.count()
+left = right.filter(F.col("row_id") % left_every == 0).persist()
+n_left = left.count()
+
+t_knn = None; knn_rows = None
+for _ in range(3):
+    t0 = time.perf_counter()
+    knn_rows = knn_join(left, right, k, bounds=SYNTH_BOUNDS).count()
+    t = time.perf_counter() - t0
+    t_knn = t if t_knn is None else min(t_knn, t)
+left.unpersist(); right.unpersist()
+
+emb = synth_embeddings(spark, n_vecs, lsh_kw["dim"]).persist()
+emb.count()
+t_lsh = None; lsh_pairs = None
+for _ in range(3):
+    t0 = time.perf_counter()
+    lsh_pairs = lsh_cosine_near_dup_pairs_fast(emb, **lsh_kw).count()
+    t = time.perf_counter() - t0
+    t_lsh = t if t_lsh is None else min(t_lsh, t)
+emb.unpersist()
+
+print(json.dumps({
+    "cpus": cpus, "n_right": n_right, "n_left": n_left, "knn_rows": knn_rows,
+    "knn_sec": round(t_knn, 3),
+    "knn_right_rows_per_sec": round(n_right / t_knn, 1),
+    "n_vecs": n_vecs, "lsh_pairs": lsh_pairs, "lsh_sec": round(t_lsh, 3),
+    "lsh_vecs_per_sec": round(n_vecs / t_lsh, 1),
+    "leg_calib_mt_sec": round(calib_mt, 3),
+}))
+spark.stop()
+"""
+
+
+def run(cpus: int) -> dict:
+    out = subprocess.run(
+        [
+            sys.executable, "-c", JOB, str(cpus), str(N_POINTS), str(N_VECS),
+            str(LEFT_EVERY), str(KNN_K), json.dumps(LSH_KW),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(Path(__file__).resolve().parents[1]),
+        timeout=5400,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"leg cpus={cpus} produced no JSON")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    calib_mt = cpu_calibration_mt_sec()
+    r8 = run(8)
+    print(json.dumps(r8), flush=True)
+    r32 = run(32)
+    print(json.dumps(r32), flush=True)
+    eff_knn = r32["knn_right_rows_per_sec"] / (4 * r8["knn_right_rows_per_sec"])
+    eff_lsh = r32["lsh_vecs_per_sec"] / (4 * r8["lsh_vecs_per_sec"])
+    report = {
+        "n_points": N_POINTS,
+        "n_vecs": N_VECS,
+        "scaling_efficiency_knn_join": round(eff_knn, 3),
+        "scaling_efficiency_lsh_pairs": round(eff_lsh, 3),
+        "cpu_calib_mt_sec": round(calib_mt, 4),
+        "cpu_factor_mt": round(calib_mt / CALIB_MT_REF_SEC, 3),
+    }
+    print(json.dumps(report))
+    assert r8["knn_rows"] == r32["knn_rows"], "knn_join row count differs by level"
+    assert r8["lsh_pairs"] == r32["lsh_pairs"], "lsh pair count differs by level"
+    md = Path(__file__).resolve().parents[1] / "BENCH" / "BASELINE.md"
+    stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    md.open("a").write(
+        f"""
+
+## Heavy-operator scaling run {stamp} (knn_join {N_POINTS:,} right / {r8['n_left']:,} left k={KNN_K}; LSH pairs {N_VECS:,} x {LSH_KW['dim']}d, min-of-3)
+
+| metric | local[8] | local[32] | efficiency (32 vs 4x8) |
+|---|---|---|---|
+| knn_join right rows/s | {r8['knn_right_rows_per_sec']:,.0f} | {r32['knn_right_rows_per_sec']:,.0f} | **{eff_knn:.3f}** |
+| lsh near-dup vectors/s | {r8['lsh_vecs_per_sec']:,.0f} | {r32['lsh_vecs_per_sec']:,.0f} | **{eff_lsh:.3f}** |
+
+knn_join output rows {r8['knn_rows']:,} and LSH pairs {r8['lsh_pairs']:,}
+identical at both levels. Wall-clock: knn {r8['knn_sec']}s @8 /
+{r32['knn_sec']}s @32; lsh {r8['lsh_sec']}s @8 / {r32['lsh_sec']}s @32.
+Weather: per-leg multicore probes {r8['leg_calib_mt_sec']}s @8 /
+{r32['leg_calib_mt_sec']}s @32 (ref {CALIB_MT_REF_SEC}s); launcher probe
+{calib_mt:.3f}s (factor {calib_mt / CALIB_MT_REF_SEC:.3f}).
+"""
+    )
+    print(f"appended run section to {md}")
+
+
+if __name__ == "__main__":
+    main()

@@ -430,3 +430,77 @@ class TestLshNearDupFastTwin:
             for r in lsh_cosine_near_dup_pairs_fast(emb, 0.9, 24, 4, 6).collect()
         )
         assert p_slow == p_fast and len(p_fast) >= 10
+
+
+class TestKmeansQuantizer:
+    """VERDICT r3 #5: optional spherical k-means coarse quantizer —
+    same IVF machinery, better cells on clustered data."""
+
+    def _clustered(self, spark, n_per=100, k_true=8, dim=16, seed=3):
+        rng = np.random.default_rng(seed)
+        anchors = rng.standard_normal((k_true, dim))
+        anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+        rows, vecs = [], []
+        for c in range(k_true):
+            pts = anchors[c] + 0.15 * rng.standard_normal((n_per, dim))
+            for i, p in enumerate(pts):
+                rows.append((c * n_per + i, [float(x) for x in p]))
+                vecs.append(p)
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        return df, np.asarray(vecs), anchors
+
+    def test_deterministic(self, spark):
+        df, _, _ = self._clustered(spark, n_per=40)
+        a = A.kmeans_centroids(df, 8, iters=5, seed=7)
+        b = A.kmeans_centroids(df, 8, iters=5, seed=7)
+        assert a == b
+        assert len(a) == 8 and all(len(v) == 16 for _, v in a)
+        # unit-norm centroids
+        assert all(abs(np.linalg.norm(v) - 1.0) < 1e-9 for _, v in a)
+
+    def test_recall_beats_lowest_id_on_clustered(self, spark):
+        """On clustered embeddings, k-means cells at nprobe=1 must reach
+        high recall and beat the lowest-id quantizer (which picks all
+        its centroids from inside cluster 0)."""
+        df, vecs, anchors = self._clustered(spark)
+        df = df.cache()
+        q = [float(x) for x in (anchors[5] + 0.01)]
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = np.asarray(q) / np.linalg.norm(q)
+        brute = set(np.argsort(-(vn @ qn), kind="stable")[:25].tolist())
+
+        km = A.kmeans_centroids(df, 8, iters=10, seed=7)
+        got_km = {r.id for r in A.ivf_cosine_topk(df, q, 25, nprobe=1, centroids=km).collect()}
+        low = A.ivf_centroids(df, 8)
+        got_low = {r.id for r in A.ivf_cosine_topk(df, q, 25, nprobe=1, centroids=low).collect()}
+        rec_km = len(got_km & brute) / 25
+        rec_low = len(got_low & brute) / 25
+        assert rec_km >= 0.8, (rec_km, rec_low)
+        assert rec_km >= rec_low, (rec_km, rec_low)
+        df.unpersist()
+
+    def test_multiprobe_recall_monotone(self, spark):
+        """VERDICT r3 #6: probing more cells (distance-ordered) can only
+        help — recall vs nprobe is nondecreasing and hits 1.0 at full
+        probe (exhaustive == brute force)."""
+        df, vecs, anchors = self._clustered(spark)
+        df = df.cache()
+        q = [float(x) for x in (anchors[2] + 0.02)]
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = np.asarray(q) / np.linalg.norm(q)
+        brute = set(np.argsort(-(vn @ qn), kind="stable")[:25].tolist())
+        km = A.kmeans_centroids(df, 8, iters=10, seed=7)
+        recalls = []
+        for nprobe in (1, 2, 4, 8):
+            got = {r.id for r in A.ivf_cosine_topk(df, q, 25, nprobe=nprobe, centroids=km).collect()}
+            recalls.append(len(got & brute) / 25)
+        assert recalls == sorted(recalls), recalls
+        assert recalls[-1] == 1.0, recalls
+        df.unpersist()
+
+    def test_more_clusters_than_rows_clamps(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+        )
+        cents = A.kmeans_centroids(df, 16, iters=3)
+        assert len(cents) == 2

@@ -57,6 +57,7 @@ def test_resume_after_midjob_crash(spark, pts, tmp_path):
     assert m.filter(F.col("status") == "COMMITTED").count() == 4
 
 
+@pytest.mark.slow
 def test_bucket_assignment_stable_across_partitioning(spark, pts, tmp_path):
     cp = CheckpointedPipeline(spark, str(tmp_path), n_buckets=8)
     cp.run_stage("s", pts.repartition(2), lambda d: d, "url")

@@ -190,3 +190,28 @@ def test_str_blob_knn_parity(spark):
 def test_bad_sort_method_raises(spark):
     with pytest.raises(ValueError):
         build_partition_indexes(data1_df(spark), 2, sort_method="zorder")
+
+
+def test_kd_within_dateline_cluster_parity(spark):
+    """VERDICT r3 #7: indexed kd within over a DATELINE cluster (lon
+    mixing 179.x and -179.x, the sign flip that breaks naive bbox
+    pruning) — the kd-blob path's euclidean-degrees result must equal
+    the plain scan for queries on both sides of the line and one whose
+    circle spans the lon sign change. (Wrap-aware METERS-radius queries
+    are within_geo; this pins the planar blob path's partition prune.)"""
+    import numpy as np
+    from geo_index_spark.operators import within
+    from geo_index_spark.operators.localbuild import within_partition_indexes
+
+    rng = np.random.default_rng(23)
+    lon = np.concatenate([rng.uniform(177.0, 180.0, 80), rng.uniform(-180.0, -177.0, 80)])
+    lat = rng.uniform(50.0, 70.0, 160)
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(np.column_stack([lon, lat]))]
+    df = spark.createDataFrame(pts, "row_id long, x double, y double")
+    idx = build_partition_indexes(df, 6, cols=("x", "y"), tree_type="kdtree").cache()
+    for qx, qy, r in [(179.0, 60.0, 1.5), (-179.0, 55.0, 2.0), (0.5, 60.0, 181.0)]:
+        got = {r_.row_id for r_ in within_partition_indexes(idx, qx, qy, r).collect()}
+        want = {r_.row_id for r_ in within(df, qx, qy, r, cols=("x", "y")).collect()}
+        assert got == want, (qx, qy, r)
+        assert len(got) > 0
+    idx.unpersist()

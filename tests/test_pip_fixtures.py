@@ -74,6 +74,7 @@ def test_pip_refinement_vs_scalar_oracle(spark):
     assert len({p for p, _ in got}) >= 95
 
 
+@pytest.mark.slow
 def test_zonal_stats_vs_numpy_oracle(spark):
     raster = raster_grid_df(spark)
     polys = admin_polygons_df(spark)

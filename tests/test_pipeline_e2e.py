@@ -15,6 +15,8 @@ from geo_index_spark.webtext.generate import web_pages_df
 N_PAGES = 300
 
 
+pytestmark = pytest.mark.slow  # full e2e: run with -m slow
+
 def test_pipeline_end_to_end(spark, tmp_path):
     pages = web_pages_df(spark, N_PAGES, num_partitions=4)
     res = run_webgeo_pipeline(spark, pages, str(tmp_path), num_partitions=4)

@@ -59,6 +59,7 @@ def test_sessionize_on_events_table(spark):
     assert bad == 0
 
 
+@pytest.mark.slow
 def test_stream_sessionize_matches_batch_single_pass(spark, tmp_path):
     from geo_index_spark.streaming.sessions import stream_sessionize
 

@@ -106,6 +106,7 @@ def test_real_codec_is_stubbed():
     assert (m["width"], m["height"], m["body"]) == (640, 480, b"xyz")
 
 
+@pytest.mark.slow
 def test_stream_extract_pipeline_checkpoint_restart(spark, tmp_path):
     """Continuous extraction e2e: raw page stream (html binary) ->
     extract text -> geotag -> watermarked tile rollup, with a
@@ -185,6 +186,7 @@ def test_stream_extract_pipeline_checkpoint_restart(spark, tmp_path):
     assert got == want and got != first
 
 
+@pytest.mark.slow
 def test_stream_exact_dedup_equals_batch(spark, tmp_path):
     """Multi-batch streaming dedup (maxFilesPerTrigger=1) must converge
     to the batch exact_dedup result regardless of micro-batching —

@@ -39,6 +39,7 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert not any(4 in p for p in pairs)
 
 
+@pytest.mark.slow
 def test_minhash_lsh_matches_exact_jaccard(spark, docs):
     """On identical thresholds, LSH+refine must return a subset of the
     exact pairs; with 16 single-row bands it catches all high-J pairs."""
@@ -145,6 +146,7 @@ def docs_real(spark):
     return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
 
+@pytest.mark.slow
 def test_minhash_refine_strategies_agree(spark, docs_real):
     """broadcast (array_intersect) and counting (shuffled equi-join)
     refine paths must produce identical pair sets — the size gate may
@@ -156,6 +158,7 @@ def test_minhash_refine_strategies_agree(spark, docs_real):
     assert len(bc) > 0
 
 
+@pytest.mark.slow
 def test_minhash_fast_refine_strategies_agree(spark, docs_real):
     kw = dict(n=4, num_hashes=16, tau_num=1, tau_den=2)
     bc = {(r.a_id, r.b_id) for r in D.minhash_near_dup_pairs_fast(docs_real, refine="broadcast", **kw).collect()}
@@ -164,6 +167,7 @@ def test_minhash_fast_refine_strategies_agree(spark, docs_real):
     assert len(bc) > 0
 
 
+@pytest.mark.slow
 def test_minhash_refine_auto_gate(spark, docs):
     """auto with a zero threshold must take the counting path and still
     match the broadcast output."""
@@ -182,6 +186,7 @@ def test_simhash64_identical_and_near(spark, docs):
     assert any((v >> 32) & 0xFFFFFFFF not in (0, 0xFFFFFFFF) for v in fp.values())
 
 
+@pytest.mark.slow
 def test_simhash64_pairs_banding_complete(spark, docs_real):
     """Pigeonhole completeness: every pair at Hamming <= 3 shares one of
     the 4 sixteen-bit bands, so the banded candidate join must find the

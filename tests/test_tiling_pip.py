@@ -150,6 +150,7 @@ def test_tile_assignment_frozen_golden(spark):
         assert bad == 0
 
 
+@pytest.mark.slow
 def test_pip_join_variant_matches_broadcast(spark):
     """point_in_polygon_join (distributed edge join, no broadcast) must
     produce the identical pair set as the broadcast ray-cast refine."""

@@ -276,8 +276,15 @@ def knn_join(
     distance > r). Uncertified lefts re-join with r doubled; a round
     whose box covers the whole domain certifies unconditionally. Rounds
     shuffle only the remaining lefts, so the tail (points in sparse
-    voids) costs little; ``init_radius`` defaults to the uniform-density
-    estimate extent * sqrt(k / |right|).
+    voids) costs little; ``init_radius`` defaults to a DENSITY-AWARE
+    estimate — cell_edge * sqrt(k / max_cell_count) from one coarse
+    grid count over right — because doubling makes the cost asymmetric:
+    a too-small start wastes a few cheap rounds, a too-large start
+    explodes the first candidate join (the old uniform estimate
+    ext*sqrt(k/n) produced ~1e11 round-1 candidates on a city-skewed
+    64M table; the job never finished). Once the uncertified tail
+    drops below ~200k lefts, rounds broadcast the left side so the
+    right table is scanned, not re-shuffled.
 
     ``metric="haversine"``: radius in METERS over (lon, lat) degrees;
     candidate boxes use the provably-containing degree expansion of
@@ -331,13 +338,41 @@ def knn_join(
                 max(rhi_y, lagg[3]),
             )
         if init_radius is None:
+            # DENSITY-AWARE start (round-4 fix): the old uniform estimate
+            # ext*sqrt(k/n) is catastrophic under skew — on a city-
+            # clustered 64M table it sized round-1 boxes to ~600k
+            # candidates per clustered left (~1e11 pairs; the job never
+            # finished). The doubling rounds make the cost asymmetric:
+            # starting too SMALL wastes a few cheap extra rounds,
+            # starting too BIG explodes the first candidate join. So
+            # start at the NN scale of the DENSEST region: one coarse
+            # grid count over the right table (cells sized for ~64
+            # rows/cell on average), radius = cell_edge * sqrt(k/max_cnt).
+            # Uniform data degenerates to (roughly) the old estimate.
             ext = max(bounds[2] - bounds[0], bounds[3] - bounds[1], 1e-12)
-            density = math.sqrt(min(1.0, float(k) / max(n_right, 1)))
+            gd = min(12, max(2, round(math.log2(max(n_right, 1) / 64.0) / 2.0)))
+            nc_d = 1 << gd
+            cell_edge = ext / nc_d
+            cx = F.least(
+                F.lit(nc_d - 1),
+                F.greatest(F.lit(0), F.floor((F.col("minx") - F.lit(bounds[0])) / F.lit(cell_edge))),
+            )
+            cy = F.least(
+                F.lit(nc_d - 1),
+                F.greatest(F.lit(0), F.floor((F.col("miny") - F.lit(bounds[1])) / F.lit(cell_edge))),
+            )
+            mx = (
+                rb.groupBy(cx.alias("_cx"), cy.alias("_cy"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c"))
+                .first()[0]
+            )
+            dense = cell_edge * math.sqrt(float(k) / max(float(mx), 1.0))
             if metric == "haversine":
                 # degrees -> conservative meters at the equator scale
-                init_radius = ext * 111320.0 * density
+                init_radius = dense * 111320.0
             else:
-                init_radius = ext * density
+                init_radius = dense
     extent = max(bounds[2] - bounds[0], bounds[3] - bounds[1], 1e-12)
     # radius covering the whole domain: every right point is a candidate.
     # With max_distance, covering the max_d ball is just as final: the
@@ -350,8 +385,15 @@ def knn_join(
     r = min(r, cover_r) if max_distance is not None else r
 
     remaining = lpts.localCheckpoint()
+    n_remaining = remaining.count()
     parts: list[DataFrame] = []
     w = Window.partitionBy("left_id").orderBy(F.col("dist").asc(), F.col("right_id").asc())
+    # once the uncertified tail is small, BROADCAST it: the candidate
+    # join then streams the right table instead of re-shuffling all of
+    # it every round — the late (sparse-void) rounds cost O(|R|) scan,
+    # not O(|R|) shuffle. 200k lefts x <=4 cells/box x ~56 B is well
+    # under the broadcast threshold.
+    bcast_lefts = 200_000
     for _ in range(max_rounds):
         if metric == "haversine":
             lb = haversine_candidate_boxes(
@@ -375,6 +417,7 @@ def knn_join(
             rb,
             bounds=bounds,
             grid_level=level,
+            broadcast_side="left" if n_remaining <= bcast_lefts else None,
             keep_left=("px", "py"),
             keep_right=("qx", "qy"),
         )
@@ -407,7 +450,8 @@ def knn_join(
         remaining = remaining.join(
             done, remaining["lid"] == done["left_id"], "left_anti"
         ).localCheckpoint()
-        if remaining.isEmpty():
+        n_remaining = remaining.count()
+        if n_remaining == 0:
             remaining = None
             break
         r *= 2.0

@@ -218,6 +218,86 @@ def within_partition_indexes(
     return pruned.mapInArrow(probe, "row_id long")
 
 
+def within_geo_partition_indexes(
+    index_df: DataFrame,
+    qlon: float,
+    qlat: float,
+    radius_m: float,
+) -> DataFrame:
+    """METERS-radius (haversine, WGS84, inclusive) probe of a POINT
+    blob index table built over (lon, lat) degrees — the blob twin of
+    search.within_geo, antimeridian-safe.
+
+    Partition pruning (Catalyst, exchange-free): the literal query's
+    provably-containing degree window (search.geo_query_window — 1-2
+    disjoint lon segments when it crosses ±180, plus exact-±180 alias
+    segments) is OR-overlap-tested against each blob row's bbox.
+    Local probe: per segment a bbox search of the blob (kdbush range /
+    flatbush search), then the exact haversine residual over the blob's
+    stored coordinates. Segments are disjoint, so no row is emitted
+    twice. Requires lon in [-180, 180], |lat| <= 90 in the data (the
+    window-completeness proof's domain; build after sanitize_lonlat)."""
+    from pyspark.sql import functions as F
+
+    from geo_index_spark.localindex.flatbush import haversine
+    from geo_index_spark.operators.search import geo_query_window
+
+    qlon, qlat, r = float(qlon), float(qlat), float(radius_m)
+    dlat, segs = geo_query_window(qlon, qlat, r)
+    lat_lo, lat_hi = qlat - dlat, qlat + dlat
+
+    prune = None
+    for lo, hi in segs:
+        p = (
+            (F.col("minx") <= F.lit(hi))
+            & (F.col("maxx") >= F.lit(lo))
+            & (F.col("miny") <= F.lit(lat_hi))
+            & (F.col("maxy") >= F.lit(lat_lo))
+        )
+        prune = p if prune is None else (prune | p)
+    pruned = index_df.filter(prune)
+
+    def _blob_candidates(tree: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(insertion idx, lon, lat) of all points in any segment box."""
+        if tree[0] == 0xDB:
+            kd = KDBush.from_bytes(tree)
+            pos = np.empty(kd.num_items, dtype=np.int64)
+            pos[kd.ids] = np.arange(kd.num_items)
+            idx = [kd.range(lo, lat_lo, hi, lat_hi) for lo, hi in segs]
+            idx = np.concatenate(idx) if idx else np.empty(0, np.int64)
+            c = kd.coords[pos[idx]]
+            return idx, c[:, 0], c[:, 1]
+        fb = Flatbush.from_bytes(tree)
+        n = fb.num_items
+        pos = np.empty(n, dtype=np.int64)
+        pos[fb.indices[:n]] = np.arange(n)
+        idx = [fb.search(lo, lat_lo, hi, lat_hi) for lo, hi in segs]
+        idx = np.concatenate(idx) if idx else np.empty(0, np.int64)
+        lb = fb.nodes[pos[idx]]
+        if idx.size and ((lb[:, 0] != lb[:, 2]).any() or (lb[:, 1] != lb[:, 3]).any()):
+            raise ValueError(
+                "within_geo_partition_indexes requires point-mode blobs "
+                "(cols=(lon, lat)); this flatbush blob holds real boxes"
+            )
+        return idx, lb[:, 0], lb[:, 1]
+
+    def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            d = batch.to_pydict()
+            hits: list[np.ndarray] = []
+            for tree, ids in zip(d["tree"], d["ids"]):
+                idx, lons, lats = _blob_candidates(tree)
+                if idx.size:
+                    keep = haversine(qlon, qlat, lons, lats) <= r
+                    idx = idx[keep]
+                if idx.size:
+                    hits.append(np.frombuffer(ids, dtype=np.int64)[idx])
+            out = np.concatenate(hits) if hits else np.empty(0, np.int64)
+            yield pa.RecordBatch.from_pydict({"row_id": pa.array(out, pa.int64())})
+
+    return pruned.mapInArrow(probe, "row_id long")
+
+
 def knn_partition_indexes(
     index_df: DataFrame,
     qx: float,

@@ -102,12 +102,21 @@ def within_geo(
     return df.filter(pred & (d <= F.lit(r)))
 
 
-def geo_prefilter_pred(x, y, qlon: float, qlat: float, radius_m: float):
-    """Pushable degree-box predicate provably containing the haversine
-    ``radius_m`` ball around literal (qlon, qlat) — the literal-query
-    twin of join.haversine_box_expand, with the antimeridian handled as
-    an OR of the two wrapped lon ranges. Shared by :func:`within_geo`
-    and ``knn(metric="haversine", max_distance=...)``."""
+def geo_query_window(
+    qlon: float, qlat: float, radius_m: float
+) -> tuple[float, list[tuple[float, float]]]:
+    """(dlat_deg, disjoint lon segments) of the smallest degree window
+    provably containing the haversine ``radius_m`` ball around literal
+    (qlon, qlat) — the literal-query twin of join.haversine_box_expand.
+    A window crossing ±180 splits into two wrapped segments; an
+    endpoint landing EXACTLY on ±180 adds a degenerate alias segment
+    for points stored as the other sign of the same meridian (ADVICE
+    r3 — sanitize_lonlat canonicalizes 180 -> -180, but unsanitized
+    inputs may carry either sign, and the dlon bound is tight at the
+    band's min-cos latitude). Segments are pairwise disjoint, so a
+    point matches at most one. Shared by :func:`geo_prefilter_pred`
+    (scan path) and localbuild.within_geo_partition_indexes (blob
+    path)."""
     import math
 
     from geo_index_spark.operators.knn import EARTH_RADIUS_M
@@ -117,7 +126,6 @@ def geo_prefilter_pred(x, y, qlon: float, qlat: float, radius_m: float):
     qlon, qlat, r = float(qlon), float(qlat), float(radius_m)
     theta = r / EARTH_RADIUS_M
     dlat = math.degrees(theta)
-    lat_pred = (y >= F.lit(qlat - dlat)) & (y <= F.lit(qlat + dlat))
     if abs(qlat) + dlat >= 90.0:
         dlon = 180.0
     else:
@@ -133,20 +141,31 @@ def geo_prefilter_pred(x, y, qlon: float, qlat: float, radius_m: float):
         )
     lo, hi = qlon - dlon, qlon + dlon
     if dlon >= 180.0:
-        lon_pred = F.lit(True)
+        segs = [(-180.0, 180.0)]
     elif lo < -180.0:  # wraps west: [-180, hi] U [lo + 360, 180]
-        lon_pred = (x <= F.lit(hi)) | (x >= F.lit(lo + 360.0))
+        segs = [(-180.0, hi), (lo + 360.0, 180.0)]
     elif hi > 180.0:  # wraps east: [lo, 180] U [-180, hi - 360]
-        lon_pred = (x >= F.lit(lo)) | (x <= F.lit(hi - 360.0))
+        segs = [(lo, 180.0), (-180.0, hi - 360.0)]
     else:
-        lon_pred = (x >= F.lit(lo)) & (x <= F.lit(hi))
-        # +180 and -180 name the same meridian: a window endpoint that
-        # lands EXACTLY on one sign must admit points stored as the
-        # other (ADVICE r3 — sanitize_lonlat canonicalizes 180 -> -180,
-        # but inputs that skipped sanitation may carry either sign, and
-        # the dlon bound is tight at the band's min-cos latitude)
+        segs = [(lo, hi)]
         if hi == 180.0:
-            lon_pred = lon_pred | (x == F.lit(-180.0))
+            segs.append((-180.0, -180.0))  # ±180 alias, degenerate
         if lo == -180.0:
-            lon_pred = lon_pred | (x == F.lit(180.0))
+            segs.append((180.0, 180.0))
+    return dlat, segs
+
+
+def geo_prefilter_pred(x, y, qlon: float, qlat: float, radius_m: float):
+    """Pushable degree-box predicate provably containing the haversine
+    ``radius_m`` ball around literal (qlon, qlat) — the OR of the
+    :func:`geo_query_window` segments (still pushable range predicates).
+    Shared by :func:`within_geo` and ``knn(metric="haversine",
+    max_distance=...)``."""
+    dlat, segs = geo_query_window(qlon, qlat, radius_m)
+    qlat = float(qlat)
+    lat_pred = (y >= F.lit(qlat - dlat)) & (y <= F.lit(qlat + dlat))
+    lon_pred = None
+    for lo, hi in segs:
+        p = (x >= F.lit(lo)) & (x <= F.lit(hi))
+        lon_pred = p if lon_pred is None else (lon_pred | p)
     return lat_pred & lon_pred

@@ -50,11 +50,20 @@ from geo_index_spark.benchwork import (
 cpus = int(sys.argv[1]); n_pts = int(sys.argv[2]); n_vecs = int(sys.argv[3])
 left_every = int(sys.argv[4]); k = int(sys.argv[5]); lsh_kw = json.loads(sys.argv[6])
 calib_mt = cpu_calibration_mt_sec()
+# NOT the RAM-dir/compression-off microbench conf: knn_join's doubling
+# rounds write real shuffle volume (3 reps x up to 16 rounds x 64M-row
+# candidate joins), which fills /dev/shm and gets the JVM OOM-killed
+# (observed: 118 GiB shmem). Disk shuffle dir + default lz4, like a
+# production cluster; identical conf on both legs keeps the efficiency
+# ratio apples-to-apples.
+conf = {k_: v for k_, v in BENCH_CONF.items()
+        if k_ not in ("spark.local.dir", "spark.shuffle.compress",
+                      "spark.shuffle.spill.compress")}
 spark = get_spark(
     f"scale-ops-{cpus}",
     master=f"local[{cpus}]",
     shuffle_partitions=cpus * 8,
-    extra_conf=BENCH_CONF,
+    extra_conf=conf,
 )
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -64,20 +73,22 @@ left = right.filter(F.col("row_id") % left_every == 0).persist()
 n_left = left.count()
 
 t_knn = None; knn_rows = None
-for _ in range(3):
+for rep in range(3):
     t0 = time.perf_counter()
     knn_rows = knn_join(left, right, k, bounds=SYNTH_BOUNDS).count()
     t = time.perf_counter() - t0
+    print(f"[leg {cpus}] knn rep {rep}: {t:.1f}s", file=sys.stderr, flush=True)
     t_knn = t if t_knn is None else min(t_knn, t)
 left.unpersist(); right.unpersist()
 
 emb = synth_embeddings(spark, n_vecs, lsh_kw["dim"]).persist()
 emb.count()
 t_lsh = None; lsh_pairs = None
-for _ in range(3):
+for rep in range(3):
     t0 = time.perf_counter()
     lsh_pairs = lsh_cosine_near_dup_pairs_fast(emb, **lsh_kw).count()
     t = time.perf_counter() - t0
+    print(f"[leg {cpus}] lsh rep {rep}: {t:.1f}s", file=sys.stderr, flush=True)
     t_lsh = t if t_lsh is None else min(t_lsh, t)
 emb.unpersist()
 
@@ -94,19 +105,27 @@ spark.stop()
 
 
 def run(cpus: int) -> dict:
+    import os
+
+    # 40g leg heap: in local mode ONE JVM holds the persisted 64M right
+    # table, the candidate-join shuffle state, and knn_join's eager
+    # per-round localCheckpoints — the 8g default OOMs at this size
+    # (legs run one at a time; the box has 128 GiB).
+    env = {**os.environ, "SPARK_DRIVER_MEM": "40g"}
     out = subprocess.run(
         [
             sys.executable, "-c", JOB, str(cpus), str(N_POINTS), str(N_VECS),
             str(LEFT_EVERY), str(KNN_K), json.dumps(LSH_KW),
         ],
-        capture_output=True,
+        stdout=subprocess.PIPE,
+        stderr=None,  # stream leg progress to the launcher's stderr live
         text=True,
         cwd=str(Path(__file__).resolve().parents[1]),
         timeout=5400,
+        env=env,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
-        sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError(f"leg cpus={cpus} produced no JSON")
     return json.loads(lines[-1])
 

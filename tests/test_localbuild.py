@@ -215,3 +215,40 @@ def test_kd_within_dateline_cluster_parity(spark):
         assert got == want, (qx, qy, r)
         assert len(got) > 0
     idx.unpersist()
+
+
+def test_within_geo_blob_parity_dateline(spark):
+    """Blob twin of within_geo: meters-radius haversine probe over kd
+    AND flatbush point blobs on a ±180 cluster must equal the scan-path
+    within_geo (itself brute-force-pinned), including queries whose
+    degree window crosses the antimeridian, for both lon signs and a
+    mid-cluster query."""
+    from geo_index_spark.operators.search import within_geo
+    from geo_index_spark.operators.localbuild import within_geo_partition_indexes
+
+    rng = np.random.default_rng(31)
+    lon = np.concatenate([rng.uniform(176.0, 180.0, 90), rng.uniform(-180.0, -176.0, 90)])
+    lat = rng.uniform(45.0, 75.0, 180)
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(np.column_stack([lon, lat]))]
+    df = spark.createDataFrame(pts, "row_id long, x double, y double")
+    queries = [(179.8, 60.0, 200_000.0), (-179.5, 55.0, 350_000.0), (178.0, 70.0, 150_000.0)]
+    for tree_type in ("kdtree", "rtree"):
+        idx = build_partition_indexes(df, 5, cols=("x", "y"), tree_type=tree_type).cache()
+        for qlon, qlat, r in queries:
+            got = {r_.row_id for r_ in within_geo_partition_indexes(idx, qlon, qlat, r).collect()}
+            want = {r_.row_id for r_ in within_geo(df, qlon, qlat, r).collect()}
+            assert got == want, (tree_type, qlon, qlat, r)
+            assert len(got) > 0
+        idx.unpersist()
+
+
+def test_within_geo_blob_rejects_box_blobs(spark):
+    from geo_index_spark.operators.localbuild import within_geo_partition_indexes
+
+    boxes = spark.createDataFrame(
+        [(0, 10.0, 10.0, 12.0, 12.0)],
+        "row_id long, minx double, miny double, maxx double, maxy double",
+    )
+    idx = build_partition_indexes(boxes, 1)
+    with pytest.raises(Exception, match="point-mode"):
+        within_geo_partition_indexes(idx, 11.0, 11.0, 500_000.0).collect()

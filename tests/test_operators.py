@@ -771,3 +771,27 @@ def test_haversine_nan_latitude_raises(spark):
         for r in distance_join(df_null, df_null, 50_000.0, metric="haversine").collect()
     }
     assert got == {(0, 0)}
+
+
+def test_knn_join_skewed_density_parity(spark):
+    """Round-4 density-aware init_radius: a dense blob next to a sparse
+    spread (the city-skew shape that blew up the uniform estimate at
+    64M rows) — exact parity with brute force, dense and void lefts."""
+    import numpy as np
+    from geo_index_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(41)
+    blob = np.column_stack([rng.uniform(0, 1, 400), rng.uniform(0, 1, 400)])
+    spread = np.column_stack([rng.uniform(0, 1000, 60), rng.uniform(0, 1000, 60)])
+    rpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(np.vstack([blob, spread]))]
+    lpts = rpts[::7] + [(999, 500.0, 500.0)]  # mixed lefts + deep-void left
+    rdf = spark.createDataFrame(rpts, "row_id long, x double, y double")
+    ldf = spark.createDataFrame(lpts, "row_id long, x double, y double")
+    got = sorted(
+        (r.left_id, r.right_id, round(r.dist, 6)) for r in knn_join(ldf, rdf, 3).collect()
+    )
+    brute = []
+    for lid, lx, ly in lpts:
+        ds = sorted((float(np.hypot(rx - lx, ry - ly)), rid) for rid, rx, ry in rpts)
+        brute.extend((lid, rid, round(d, 6)) for d, rid in ds[:3])
+    assert got == sorted(brute)

@@ -42,6 +42,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # one BLAS thread per Python worker: N parallel Arrow workers x
+        # multithreaded OpenBLAS/MKL oversubscribes the cores (N^2
+        # threads at local[N]) — task-level parallelism already uses
+        # every core, so in-task matmuls must be single-threaded
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

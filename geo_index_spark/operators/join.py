@@ -283,10 +283,15 @@ def haversine_pair_col(lx: Column, ly: Column, rx: Column, ry: Column) -> Column
     return F.lit(2.0 * 6378137.0) * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
 
 
-def haversine_box_expand(lat: Column, radius_m: float) -> tuple[float, Column]:
-    """(dlat_deg literal, dlon_deg column) of the smallest lon/lat box
+def haversine_box_expand(
+    lat: Column, radius_m: float | Column
+) -> tuple[Column, Column]:
+    """(dlat_deg, dlon_deg) columns of the smallest lon/lat box
     guaranteed to contain the haversine ``radius_m`` ball around a point
-    at latitude ``lat``. Completeness: any point within haversine r
+    at latitude ``lat``. ``radius_m`` may be a per-row Column (per-left
+    adaptive radii in :func:`geo_index_spark.operators.knn.knn_join`) or
+    a scalar, in which case the trig terms pre-fold to literals.
+    Completeness: any point within haversine r
     satisfies |dlat| <= theta (= r/R), and from the haversine identity
     sin^2(theta/2) >= cos(lat0)cos(lat)sin^2(dlon/2) with
     cos(lat) >= cos(|lat0| + theta) inside the lat band; a band touching
@@ -299,10 +304,17 @@ def haversine_box_expand(lat: Column, radius_m: float) -> tuple[float, Column]:
     import math
 
     R = 6378137.0
-    theta = radius_m / R  # central angle, radians
-    dlat_deg = math.degrees(theta)
+    if isinstance(radius_m, Column):
+        theta = radius_m / F.lit(R)  # central angle, radians
+        dlat_deg = F.degrees(theta)
+        sin_half = F.sin(theta / F.lit(2.0))
+    else:
+        t = float(radius_m) / R
+        theta = F.lit(t)
+        dlat_deg = F.lit(math.degrees(t))
+        sin_half = F.lit(math.sin(t / 2.0))
     denom = F.cos(F.radians(lat)) * F.cos(
-        F.least(F.lit(math.pi / 2), F.abs(F.radians(lat)) + F.lit(theta))
+        F.least(F.lit(math.pi / 2), F.abs(F.radians(lat)) + theta)
     )
     dlon_deg = F.when(
         # isnan disjunct: NaN compares false everywhere, so without it a
@@ -315,12 +327,11 @@ def haversine_box_expand(lat: Column, radius_m: float) -> tuple[float, Column]:
             F.lit("haversine degree-box expansion requires |lat| <= 90")
         ).cast("double"),
     ).when(
-        (F.abs(lat) + F.lit(dlat_deg) >= 90.0) | (denom <= F.lit(0.0)),
+        (F.abs(lat) + dlat_deg >= 90.0) | (denom <= F.lit(0.0)),
         F.lit(180.0),
     ).otherwise(
         F.degrees(
-            2.0
-            * F.asin(F.least(F.lit(1.0), F.lit(math.sin(theta / 2.0)) / F.sqrt(denom)))
+            2.0 * F.asin(F.least(F.lit(1.0), sin_half / F.sqrt(denom)))
         )
     )
     return dlat_deg, dlon_deg
@@ -328,14 +339,17 @@ def haversine_box_expand(lat: Column, radius_m: float) -> tuple[float, Column]:
 
 def haversine_candidate_boxes(
     df: DataFrame,
-    radius_m: float,
+    radius_m: float | Column,
     id_col: str = "row_id",
     lon_col: str = "x",
     lat_col: str = "y",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per row: 1-2 candidate boxes (row_id, minx, miny, maxx, maxy,
-    px, py) whose union provably contains the haversine ``radius_m``
-    ball around (lon, lat) — antimeridian-safe.
+    px, py[, *keep]) whose union provably contains the haversine
+    ``radius_m`` ball around (lon, lat) — antimeridian-safe.
+    ``radius_m`` may be a per-row Column; ``keep`` columns pass through
+    unchanged (both serve knn_join's per-left adaptive radii).
 
     When the degree window [lon - dlon, lon + dlon] crosses +-180, the
     wrapped remainder re-enters from the other side and is emitted as a
@@ -378,8 +392,9 @@ def haversine_candidate_boxes(
         F.col(id_col).alias("row_id"),
         F.col(lon_col).alias("px"),
         F.col(lat_col).alias("py"),
-        (F.col(lat_col) - F.lit(dlat_deg)).alias("miny"),
-        (F.col(lat_col) + F.lit(dlat_deg)).alias("maxy"),
+        (F.col(lat_col) - dlat_deg).alias("miny"),
+        (F.col(lat_col) + dlat_deg).alias("maxy"),
+        *[F.col(c) for c in keep],
         F.explode(segs).alias("_seg"),
     )
     return out.select(
@@ -390,6 +405,7 @@ def haversine_candidate_boxes(
         "maxy",
         "px",
         "py",
+        *keep,
     )
 
 

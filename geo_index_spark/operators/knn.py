@@ -242,6 +242,189 @@ def knn_geometry(
     return out.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(int(k))
 
 
+def _knn_point_candidates(
+    rem: DataFrame,
+    rpts: DataFrame,
+    bounds: tuple[float, float, float, float],
+    level: int,
+    metric: str,
+    broadcast_left: bool,
+) -> DataFrame:
+    """Candidate (left_id, right_id, dist, r) pairs for one knn_join
+    round: every right point lying in a grid cell touched by the left's
+    per-row radius box. Point-specialized: the right side ships only
+    (id, x, y, cell) — 1 cell per point, no box columns — roughly
+    halving the shuffled bytes of the join's big side vs the generic
+    box-box :func:`~geo_index_spark.operators.join.spatial_join`, and
+    pair uniqueness is structural (a point is in exactly one cell) so
+    no reference-cell dedup predicate is needed. Candidates are a
+    SUPERSET of the box (whole touched cells) — harmless, the top-k
+    window keeps the closest and certification only needs completeness.
+    Haversine boxes may wrap into 2 disjoint lon segments; a
+    lon-containment residual keeps a pair in its own segment's cells so
+    it cannot be emitted once per segment."""
+    from geo_index_spark.operators.join import (
+        _cell_coord,
+        haversine_candidate_boxes,
+        haversine_pair_col,
+    )
+
+    nc = 1 << level
+    lox, loy, hix, hiy = bounds
+    inv_wx = nc / (hix - lox) if hix > lox else 0.0
+    inv_wy = nc / (hiy - loy) if hiy > loy else 0.0
+
+    residual = None
+    if metric == "haversine":
+        lb = haversine_candidate_boxes(
+            rem, F.col("r"), id_col="lid", lon_col="px", lat_col="py", keep=("r",)
+        )
+        le = lb.select(
+            F.col("row_id").alias("left_id"),
+            "px",
+            "py",
+            "r",
+            "minx",
+            "maxx",
+            _cell_coord(F.col("minx"), lox, inv_wx, nc).alias("cx0"),
+            _cell_coord(F.col("maxx"), lox, inv_wx, nc).alias("cx1"),
+            _cell_coord(F.col("miny"), loy, inv_wy, nc).alias("cy0"),
+            _cell_coord(F.col("maxy"), loy, inv_wy, nc).alias("cy1"),
+        )
+        # segment-containment residual (lon only — the lat band is the
+        # same for both wrap segments, so lon alone kills cross-segment
+        # duplicates when the inter-segment gap fits inside one cell)
+        residual = (F.col("qx") >= F.col("minx")) & (F.col("qx") <= F.col("maxx"))
+    else:
+        le = rem.select(
+            F.col("lid").alias("left_id"),
+            "px",
+            "py",
+            "r",
+            _cell_coord(F.col("px") - F.col("r"), lox, inv_wx, nc).alias("cx0"),
+            _cell_coord(F.col("px") + F.col("r"), lox, inv_wx, nc).alias("cx1"),
+            _cell_coord(F.col("py") - F.col("r"), loy, inv_wy, nc).alias("cy0"),
+            _cell_coord(F.col("py") + F.col("r"), loy, inv_wy, nc).alias("cy1"),
+        )
+    le = (
+        le.select("*", F.explode(F.sequence(F.col("cx0"), F.col("cx1"))).alias("cx"))
+        .select("*", F.explode(F.sequence(F.col("cy0"), F.col("cy1"))).alias("cy"))
+        .withColumn("cell", F.col("cx") * F.lit(nc) + F.col("cy"))
+        .drop("cx0", "cx1", "cy0", "cy1", "cx", "cy")
+    )
+    if broadcast_left:
+        le = F.broadcast(le)
+    re = rpts.select(
+        F.col("rid").alias("right_id"),
+        "qx",
+        "qy",
+        (
+            _cell_coord(F.col("qx"), lox, inv_wx, nc) * F.lit(nc)
+            + _cell_coord(F.col("qy"), loy, inv_wy, nc)
+        ).alias("cell"),
+    )
+    j = le.join(re, "cell", "inner")
+    if residual is not None:
+        j = j.filter(residual)
+    if metric == "haversine":
+        d = haversine_pair_col(F.col("px"), F.col("py"), F.col("qx"), F.col("qy"))
+    else:
+        dx = F.col("px") - F.col("qx")
+        dy = F.col("py") - F.col("qy")
+        d = F.sqrt(dx * dx + dy * dy)
+    return j.select("left_id", "right_id", d.alias("dist"), "r")
+
+
+def _knn_point_candidates_multi(
+    rem: DataFrame,
+    rpts: DataFrame,
+    bounds: tuple[float, float, float, float],
+    levels: list[int],
+    metric: str,
+    lvl_col: Column,
+) -> DataFrame:
+    """Multilevel variant of :func:`_knn_point_candidates` for the
+    all-broadcast case: every level bucket joins in ONE pass by keying
+    on (level, cell) — the broadcast side holds each left exploded at
+    its OWN quantized level, and the right side explodes each point
+    once per PRESENT level (a literal array, so |levels| <= 7 rows per
+    point) instead of being scanned once per bucket."""
+    from geo_index_spark.operators.join import (
+        haversine_candidate_boxes,
+        haversine_pair_col,
+    )
+
+    lox, loy, hix, hiy = bounds
+    nc_l = F.pow(F.lit(2.0), F.col("_lvl"))  # exact in doubles up to 2^16
+    inv_x = nc_l * F.lit(1.0 / (hix - lox)) if hix > lox else F.lit(0.0)
+    inv_y = nc_l * F.lit(1.0 / (hiy - loy)) if hiy > loy else F.lit(0.0)
+
+    def _cc(v, lo, inv):
+        g = F.floor((v - F.lit(lo)) * inv)
+        return F.greatest(F.lit(0), F.least(nc_l - 1, g)).cast("long")
+
+    residual = None
+    if metric == "haversine":
+        lb = haversine_candidate_boxes(
+            rem.withColumn("_lvl", lvl_col),
+            F.col("r"),
+            id_col="lid",
+            lon_col="px",
+            lat_col="py",
+            keep=("r", "_lvl"),
+        )
+        le = lb.select(
+            F.col("row_id").alias("left_id"),
+            "px",
+            "py",
+            "r",
+            "_lvl",
+            "minx",
+            "maxx",
+            _cc(F.col("minx"), lox, inv_x).alias("cx0"),
+            _cc(F.col("maxx"), lox, inv_x).alias("cx1"),
+            _cc(F.col("miny"), loy, inv_y).alias("cy0"),
+            _cc(F.col("maxy"), loy, inv_y).alias("cy1"),
+        )
+        residual = (F.col("qx") >= F.col("minx")) & (F.col("qx") <= F.col("maxx"))
+    else:
+        le = rem.withColumn("_lvl", lvl_col).select(
+            F.col("lid").alias("left_id"),
+            "px",
+            "py",
+            "r",
+            "_lvl",
+            _cc(F.col("px") - F.col("r"), lox, inv_x).alias("cx0"),
+            _cc(F.col("px") + F.col("r"), lox, inv_x).alias("cx1"),
+            _cc(F.col("py") - F.col("r"), loy, inv_y).alias("cy0"),
+            _cc(F.col("py") + F.col("r"), loy, inv_y).alias("cy1"),
+        )
+    le = (
+        le.select("*", F.explode(F.sequence(F.col("cx0"), F.col("cx1"))).alias("cx"))
+        .select("*", F.explode(F.sequence(F.col("cy0"), F.col("cy1"))).alias("cy"))
+        .withColumn("cell", F.col("cx") * nc_l.cast("long") + F.col("cy"))
+        .drop("cx0", "cx1", "cy0", "cy1", "cx", "cy")
+    )
+    re = rpts.select(
+        F.col("rid").alias("right_id"),
+        "qx",
+        "qy",
+        F.explode(F.array(*[F.lit(int(l)) for l in levels])).alias("_lvl"),
+    ).withColumn(
+        "cell", _cc(F.col("qx"), lox, inv_x) * nc_l.cast("long") + _cc(F.col("qy"), loy, inv_y)
+    )
+    j = F.broadcast(le).join(re, ["_lvl", "cell"], "inner")
+    if residual is not None:
+        j = j.filter(residual)
+    if metric == "haversine":
+        d = haversine_pair_col(F.col("px"), F.col("py"), F.col("qx"), F.col("qy"))
+    else:
+        dx = F.col("px") - F.col("qx")
+        dy = F.col("py") - F.col("qy")
+        d = F.sqrt(dx * dx + dy * dy)
+    return j.select("left_id", "right_id", d.alias("dist"), "r")
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -258,205 +441,425 @@ def knn_join(
 ) -> DataFrame:
     """EXACT distributed kNN join: for every left point, its ``k``
     nearest right points — (left_id, right_id, dist), per-left ascending
-    (dist, right_id). ``max_distance`` prunes INCLUSIVELY like the
-    reference's ``neighbors`` (src/rtree/trait.rs:261): each left gets
-    up to k rows with dist <= max_distance (possibly fewer, possibly
-    zero). Internally it caps the certification radius — once the
-    candidate box covers the max_distance ball, every eligible right is
-    a candidate and all remaining lefts certify unconditionally. The workhorse the reference runs as a per-query
-    loop over ``neighbors`` (src/rtree/trait.rs:198-302), re-expressed
-    as a bulk operator.
+    (dist, right_id); left ids must be unique. ``max_distance`` prunes
+    INCLUSIVELY like the reference's ``neighbors``
+    (src/rtree/trait.rs:261): each left gets up to k rows with
+    dist <= max_distance (possibly fewer, possibly zero). Internally it
+    caps the certification radius — once the candidate box covers the
+    max_distance ball, every eligible right is a candidate and all
+    remaining lefts certify unconditionally. The workhorse the reference
+    runs as a per-query loop over ``neighbors``
+    (src/rtree/trait.rs:198-302), re-expressed as a bulk operator.
 
-    Plan — certified-radius doubling (the Simba/Sedona family, pure
-    Catalyst): each round candidate-joins the UNSATISFIED lefts against
-    right within a +-r box (grid candidate join carrying coordinates),
-    takes per-left top-k by window, and CERTIFIES a left exact when it
-    has k candidates with kth distance <= r — no right point outside
-    the box can beat them (outside the +-r box implies euclidean
-    distance > r). Uncertified lefts re-join with r doubled; a round
-    whose box covers the whole domain certifies unconditionally. Rounds
-    shuffle only the remaining lefts, so the tail (points in sparse
-    voids) costs little; ``init_radius`` defaults to a DENSITY-AWARE
-    estimate — cell_edge * sqrt(k / max_cell_count) from one coarse
-    grid count over right — because doubling makes the cost asymmetric:
-    a too-small start wastes a few cheap rounds, a too-large start
-    explodes the first candidate join (the old uniform estimate
-    ext*sqrt(k/n) produced ~1e11 round-1 candidates on a city-skewed
-    64M table; the job never finished). Once the uncertified tail
-    drops below ~200k lefts, rounds broadcast the left side so the
-    right table is scanned, not re-shuffled.
+    Plan — PER-LEFT certified-radius growth (the Simba/Sedona family,
+    pure Catalyst). Each left carries its own radius column ``r``; a
+    round candidate-joins the unsatisfied lefts against right within
+    their +-r boxes (point-specialized grid join,
+    :func:`_knn_point_candidates`), takes per-left top-k by window, and
+    CERTIFIES a left exact when it has k candidates with kth distance
+    <= its r — no right outside the box can beat them. Uncertified
+    lefts re-join with r grown (x2, escalating to x4 after round 3); a
+    left whose r reaches the cover radius certifies unconditionally.
+
+    The start radius is PER-LEFT density-adaptive, from two grid
+    counts over right: a coarse grid (~64 rows/cell) dilated to a
+    3x3-neighborhood sum S (r0 = cell_edge * min(1, sqrt(3k / S))),
+    refined by the left's own FINE-cell count when that cell holds
+    >= 3k points (r0 = 2 * fine_edge * sqrt(3k / count) — the fine
+    level is sized for the densest region, so sub-coarse-cell clusters
+    read their TRUE density instead of a diluted average; measured
+    ~20x radius overshoot -> ~400x candidate blow-up without it). The
+    round-3 global densest-cell start made SPARSE-area lefts begin at
+    the city NN scale and double ~a dozen times, each round a driver
+    barrier plus a full pass over right; per-left radii collapse that
+    to ~2-4 rounds.
+
+    Every round buckets lefts by a QUANTIZED per-left grid level (cell
+    edge >= the left's box, even levels, <= 7 buckets) — one level
+    cannot serve mixed radii: tiny boxes joined at a coarse level
+    cross-product whole dense cells, big boxes at a fine level explode
+    to thousands of cells. One candidate join runs per occupied
+    bucket; minority buckets broadcast their (exploded) lefts so right
+    is scanned, not re-shuffled — in the common case that is ONE
+    partitioned join (rights shuffle once) plus cheap scans. Once the
+    whole tail is < ~200k lefts every bucket broadcasts. The skinny
+    right projection is persisted MEMORY_AND_DISK up front, so the
+    bounds pass, both density counts, and every broadcast-bucket scan
+    read one materialization.
 
     ``metric="haversine"``: radius in METERS over (lon, lat) degrees;
     candidate boxes use the provably-containing degree expansion of
-    :func:`geo_index_spark.operators.join.haversine_candidate_boxes`,
-    WITH antimeridian wrap — a window crossing +-180 becomes two
-    disjoint lon segments — so the certification argument (outside the
-    box union implies haversine distance > r) holds for any data in
-    [-180, 180] x [-90, 90], and the full-cover round (r >= pi*R ->
-    dlon = 180, dlat = 180) genuinely covers the domain. Out-of-range
-    latitudes raise (row-level check in the expansion)."""
+    :func:`geo_index_spark.operators.join.haversine_candidate_boxes`
+    (per-row Column radius), WITH antimeridian wrap — a window crossing
+    +-180 becomes two disjoint lon segments — so the certification
+    argument (outside the box union implies haversine distance > r)
+    holds for any data in [-180, 180] x [-90, 90], and the full-cover
+    radius (pi*R -> dlat = dlon = 180) genuinely covers the domain.
+    Out-of-range latitudes raise (row-level check in the expansion)."""
     import math
 
     from pyspark.sql import Window
 
-    from geo_index_spark.operators.join import (
-        choose_grid_level,
-        haversine_candidate_boxes,
-        haversine_pair_col,
-        spatial_join,
-    )
+    from geo_index_spark.operators.join import choose_grid_level
 
     if metric not in ("euclidean", "haversine"):
         raise ValueError(f"metric must be euclidean|haversine, got {metric!r}")
     R_EARTH = 6378137.0
+    # meters per degree at the equator — only a SCALE GUESS for start
+    # radii / level choices; certification never depends on it
+    DEG_M = 111320.0
+    unit = DEG_M if metric == "haversine" else 1.0
 
     lx, ly = left_cols
     rx, ry = right_cols
+    from pyspark import StorageLevel as _SL
+
     lpts = left.select(
         F.col(left_id).alias("lid"), F.col(lx).alias("px"), F.col(ly).alias("py")
     )
-    rb = right.select(
-        F.col(right_id).alias("row_id"),
-        F.col(rx).alias("minx"),
-        F.col(ry).alias("miny"),
-        F.col(rx).alias("maxx"),
-        F.col(ry).alias("maxy"),
-        F.col(rx).alias("qx"),
-        F.col(ry).alias("qy"),
-    )
-    if bounds is None or init_radius is None:
-        agg = rb.agg(
-            F.min("minx"), F.min("miny"), F.max("maxx"), F.max("maxy"), F.count(F.lit(1))
-        ).first()
-        rlo_x, rlo_y, rhi_x, rhi_y, n_right = agg
+    # persisted up front: the bounds pass, both density counts, and
+    # every per-bucket candidate join (broadcast buckets SCAN right)
+    # all read this skinny projection — one materialization serves all
+    rpts = right.select(
+        F.col(right_id).alias("rid"), F.col(rx).alias("qx"), F.col(ry).alias("qy")
+    ).persist(_SL.MEMORY_AND_DISK)
+
+    def _empty_result() -> DataFrame:
+        rpts.unpersist(blocking=False)
+        return (
+            lpts.limit(0)
+            .crossJoin(rpts.limit(0))
+            .select(
+                F.col("lid").alias("left_id"),
+                F.col("rid").alias("right_id"),
+                F.lit(0.0).alias("dist"),
+            )
+        )
+
+    ragg = rpts.agg(
+        F.min("qx"), F.min("qy"), F.max("qx"), F.max("qy"), F.count(F.lit(1))
+    ).first()
+    n_right = ragg[4]
+    if n_right == 0:
+        # k nearest of nothing is nothing — every left yields zero rows
+        return _empty_result()
+    if bounds is None:
         lagg = lpts.agg(F.min("px"), F.min("py"), F.max("px"), F.max("py")).first()
-        if bounds is None:
-            bounds = (
-                min(rlo_x, lagg[0]),
-                min(rlo_y, lagg[1]),
-                max(rhi_x, lagg[2]),
-                max(rhi_y, lagg[3]),
-            )
-        if init_radius is None:
-            # DENSITY-AWARE start (round-4 fix): the old uniform estimate
-            # ext*sqrt(k/n) is catastrophic under skew — on a city-
-            # clustered 64M table it sized round-1 boxes to ~600k
-            # candidates per clustered left (~1e11 pairs; the job never
-            # finished). The doubling rounds make the cost asymmetric:
-            # starting too SMALL wastes a few cheap extra rounds,
-            # starting too BIG explodes the first candidate join. So
-            # start at the NN scale of the DENSEST region: one coarse
-            # grid count over the right table (cells sized for ~64
-            # rows/cell on average), radius = cell_edge * sqrt(k/max_cnt).
-            # Uniform data degenerates to (roughly) the old estimate.
-            ext = max(bounds[2] - bounds[0], bounds[3] - bounds[1], 1e-12)
-            gd = min(12, max(2, round(math.log2(max(n_right, 1) / 64.0) / 2.0)))
-            nc_d = 1 << gd
-            cell_edge = ext / nc_d
-            cx = F.least(
-                F.lit(nc_d - 1),
-                F.greatest(F.lit(0), F.floor((F.col("minx") - F.lit(bounds[0])) / F.lit(cell_edge))),
-            )
-            cy = F.least(
-                F.lit(nc_d - 1),
-                F.greatest(F.lit(0), F.floor((F.col("miny") - F.lit(bounds[1])) / F.lit(cell_edge))),
-            )
-            mx = (
-                rb.groupBy(cx.alias("_cx"), cy.alias("_cy"))
-                .agg(F.count(F.lit(1)).alias("c"))
-                .agg(F.max("c"))
-                .first()[0]
-            )
-            dense = cell_edge * math.sqrt(float(k) / max(float(mx), 1.0))
-            if metric == "haversine":
-                # degrees -> conservative meters at the equator scale
-                init_radius = dense * 111320.0
-            else:
-                init_radius = dense
-    extent = max(bounds[2] - bounds[0], bounds[3] - bounds[1], 1e-12)
+        if lagg[0] is None:  # empty left table
+            return _empty_result()
+        bounds = (
+            min(ragg[0], lagg[0]),
+            min(ragg[1], lagg[1]),
+            max(ragg[2], lagg[2]),
+            max(ragg[3], lagg[3]),
+        )
+    bounds = tuple(float(b) for b in bounds)
+    ext = max(bounds[2] - bounds[0], bounds[3] - bounds[1], 1e-12)
+
     # radius covering the whole domain: every right point is a candidate.
     # With max_distance, covering the max_d ball is just as final: the
     # dist <= max_d residual makes the candidate set complete, so the
     # cover radius shrinks to max_distance (same unconditional certify).
-    cover_r = math.pi * R_EARTH if metric == "haversine" else extent
+    cover_r = math.pi * R_EARTH if metric == "haversine" else ext
     if max_distance is not None:
         cover_r = min(cover_r, float(max_distance))
-    r = max(float(init_radius), cover_r / (1 << 20))
-    r = min(r, cover_r) if max_distance is not None else r
+    r_floor = cover_r / (1 << 20)
 
-    remaining = lpts.localCheckpoint()
-    n_remaining = remaining.count()
+    # coarse density grid over right (~64 rows/cell on average)
+    gd = min(12, max(2, round(math.log2(max(n_right, 1) / 64.0) / 2.0)))
+    nc_d = 1 << gd
+    cell_d = ext / nc_d
+
+    def _coarse_cell(c, lo):
+        return F.least(
+            F.lit(nc_d - 1),
+            F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(cell_d))),
+        ).cast("long")
+
+    if init_radius is not None:
+        r0 = F.lit(min(max(float(init_radius), r_floor), cover_r))
+        remaining = lpts.select("lid", "px", "py", r0.alias("r"))
+        dense_r = float(init_radius)
+    else:
+        # per-cell right counts, materialized once (reused by the max
+        # agg AND the neighborhood dilation — one pass over right, and
+        # the table is bounded by 4^12 cells regardless of |right|)
+        C = (
+            rpts.groupBy(
+                _coarse_cell(F.col("qx"), bounds[0]).alias("ccx"),
+                _coarse_cell(F.col("qy"), bounds[1]).alias("ccy"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint()
+        )
+        mx = C.agg(F.max("cnt")).first()[0] or 1
+        dense_r = cell_d * math.sqrt(float(k) / max(float(mx), 1.0)) * unit
+        # 3x3-neighborhood sum: dilate C by the 9 offsets, re-aggregate,
+        # then each left looks up its OWN cell — lefts stay un-exploded
+        offs = F.array(
+            *[
+                F.struct(
+                    (F.col("ccx") + F.lit(dx)).alias("ncx"),
+                    (F.col("ccy") + F.lit(dy)).alias("ncy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+        N = (
+            C.select("cnt", F.explode(offs).alias("_o"))
+            .groupBy(F.col("_o.ncx").alias("ncx"), F.col("_o.ncy").alias("ncy"))
+            .agg(F.sum("cnt").alias("S"))
+        )
+        # FINE refinement: the coarse estimate dilutes clusters much
+        # smaller than a coarse cell (a 0.2-degree city inside a
+        # 1.4-degree cell reads ~20x too sparse -> radii ~20x too big ->
+        # ~400x candidate blow-up, measured). A second count at the
+        # fine level sized for the densest region fixes exactly that
+        # case: when the left's OWN fine cell holds >= 3k points the
+        # fine-scale estimate (x2 safety so round 1 certifies, still
+        # <= 2 fine-cell edges) wins; otherwise the dilated coarse
+        # neighborhood estimate stands.
+        f_level = choose_grid_level(bounds, 2 * dense_r / unit, 2 * dense_r / unit)
+        nc_f = 1 << f_level
+        cell_f = ext / nc_f
+
+        def _fine_cell(c, lo):
+            return F.least(
+                F.lit(nc_f - 1),
+                F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(cell_f))),
+            ).cast("long")
+
+        Cf = rpts.groupBy(
+            (
+                _fine_cell(F.col("qx"), bounds[0]) * F.lit(nc_f)
+                + _fine_cell(F.col("qy"), bounds[1])
+            ).alias("fcell")
+        ).agg(F.count(F.lit(1)).alias("fcnt"))
+        lcell = lpts.select(
+            "lid",
+            "px",
+            "py",
+            _coarse_cell(F.col("px"), bounds[0]).alias("_lcx"),
+            _coarse_cell(F.col("py"), bounds[1]).alias("_lcy"),
+            (
+                _fine_cell(F.col("px"), bounds[0]) * F.lit(nc_f)
+                + _fine_cell(F.col("py"), bounds[1])
+            ).alias("_lfc"),
+        )
+        joined = (
+            lcell.join(
+                N,
+                (F.col("_lcx") == F.col("ncx")) & (F.col("_lcy") == F.col("ncy")),
+                "left",
+            )
+            .join(Cf, F.col("_lfc") == F.col("fcell"), "left")
+        )
+        # sizing math (Poisson): a radius r has expected ball count
+        # m = rho*pi*r^2; certifying needs >= k in the ball, so aim for
+        # m ~ pi*k (P(<k) < 1% at k=3) while keeping box candidates
+        # (4/pi*m per left) small. fine: r = cell_f*sqrt(3k/S_f) gives
+        # m = 3*pi*k (~28 at k=3, certifies, ~36 candidates/left).
+        # coarse (S = 3x3 neighborhood sum, rho = S/(9*cell^2)):
+        # r = cell*sqrt(9k/S) gives m = pi*k — the earlier sqrt(3k/S)
+        # read m = pi*k/3 ~ 3 and FAILED ~60% of uniform lefts.
+        s = F.coalesce(F.col("S"), F.lit(0)).cast("double")
+        sf = F.coalesce(F.col("fcnt"), F.lit(0)).cast("double")
+        three_k = F.lit(3.0 * float(k))
+        r0_coarse = F.lit(cell_d) * F.least(
+            F.lit(1.0), F.sqrt(F.lit(9.0 * float(k)) / F.greatest(s, F.lit(1.0)))
+        )
+        # trust the fine cell only from 9k points up: cells in the
+        # 3k..9k band are mostly cluster EDGES, where the cell's count
+        # is real but the left's k-th neighbor lies outside the cluster
+        # — the tiny fine radius then fails 2 extra rounds (measured)
+        r0_fine = F.lit(cell_f) * F.sqrt(three_k / sf)
+        r0 = F.when(
+            sf >= F.lit(9.0 * float(k)), F.least(r0_fine, r0_coarse)
+        ).otherwise(r0_coarse)
+        r0 = F.least(F.greatest(r0 * F.lit(unit), F.lit(r_floor)), F.lit(cover_r))
+        remaining = joined.select("lid", "px", "py", r0.alias("r"))
+    remaining = remaining.localCheckpoint()
+
+    import os
+    import sys
+    import time as _time
+
+    debug = bool(os.environ.get("GEO_KNN_DEBUG"))
+
+    # PER-LEFT grid level, every round: one level cannot serve mixed
+    # radii (tiny boxes in a coarse cell cross-product the whole cell's
+    # cluster; big boxes at a fine level explode to thousands of
+    # cells). Quantize each left's level (cell edge >= its box, even
+    # levels only -> <= 7 buckets), run one candidate join per OCCUPIED
+    # bucket, union. In practice one bucket is big (partitioned join —
+    # rights shuffle once) and the rest broadcast their lefts, so right
+    # is scanned, not re-shuffled, for every minority scale.
+    ext_u = ext * unit
+    lvl_col = F.least(
+        F.lit(16),
+        F.greatest(
+            F.lit(4),
+            F.lit(2)
+            * F.floor(F.log2(F.lit(ext_u) / (F.col("r") * 2.0)) / F.lit(2.0)),
+        ),
+    ).cast("int")
+
+    def _bucket_stats() -> list[tuple[int, int, float]]:
+        # one tiny job on the checkpointed tail doubles as the
+        # round-end count barrier: n_rem = sum of bucket counts
+        return sorted(
+            (row["_lvl"], row["cnt"], row["rmx"])
+            for row in remaining.groupBy(lvl_col.alias("_lvl"))
+            .agg(F.count(F.lit(1)).alias("cnt"), F.max("r").alias("rmx"))
+            .collect()
+        )
+
+    buckets = _bucket_stats()
+    n_rem = sum(c for _, c, _ in buckets)
+    n0 = n_rem
+    if debug:
+        print(
+            f"[knn_join] n_right={n_right} gd={gd} cell_d={cell_d:.6g} "
+            f"dense_r={dense_r:.6g} n_rem={n_rem}",
+            file=sys.stderr,
+            flush=True,
+        )
+
     parts: list[DataFrame] = []
-    w = Window.partitionBy("left_id").orderBy(F.col("dist").asc(), F.col("right_id").asc())
+    w_ord = Window.partitionBy("left_id").orderBy(
+        F.col("dist").asc(), F.col("right_id").asc()
+    )
+    w_all = Window.partitionBy("left_id")
     # once the uncertified tail is small, BROADCAST it: the candidate
-    # join then streams the right table instead of re-shuffling all of
-    # it every round — the late (sparse-void) rounds cost O(|R|) scan,
-    # not O(|R|) shuffle. 200k lefts x <=4 cells/box x ~56 B is well
-    # under the broadcast threshold.
+    # join then streams the right table instead of re-shuffling it —
+    # the late (sparse-void) rounds cost O(|R|) scan, not O(|R|) shuffle
     bcast_lefts = 200_000
-    for _ in range(max_rounds):
-        if metric == "haversine":
-            lb = haversine_candidate_boxes(
-                remaining, r, id_col="lid", lon_col="px", lat_col="py"
+    try:
+        for round_idx in range(max_rounds):
+            if n_rem == 0:
+                break
+            t_round = _time.perf_counter()
+            if debug:
+                print(
+                    f"[knn_join] round {round_idx} level buckets: {buckets}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            # straggler-tail prefilter: once the tail is tiny, collect
+            # it driver-side and push an isin() over the coarse cells
+            # its boxes touch into the cached right scan — tail rounds
+            # then read ~the straggler neighborhoods instead of
+            # streaming |right| x |levels| exploded rows. Safe because
+            # certification only needs completeness INSIDE each box,
+            # and the coarse cellset covers every box. (Haversine keeps
+            # the full scan: its degree windows wrap, and tails are the
+            # same small fraction of runtime.)
+            rpts_src = rpts
+            if metric == "euclidean" and n_rem <= 5_000:
+                tail = remaining.select("px", "py", "r").collect()
+                cells: set[int] = set()
+                for t in tail:
+                    x0 = max(0, min(nc_d - 1, int((t[0] - t[2] - bounds[0]) / cell_d)))
+                    x1 = max(0, min(nc_d - 1, int((t[0] + t[2] - bounds[0]) / cell_d)))
+                    y0 = max(0, min(nc_d - 1, int((t[1] - t[2] - bounds[1]) / cell_d)))
+                    y1 = max(0, min(nc_d - 1, int((t[1] + t[2] - bounds[1]) / cell_d)))
+                    for cx_ in range(x0, x1 + 1):
+                        for cy_ in range(y0, y1 + 1):
+                            cells.add(cx_ * nc_d + cy_)
+                    if len(cells) > 60_000:
+                        break
+                if len(cells) <= 60_000:
+                    ccell = (
+                        _coarse_cell(F.col("qx"), bounds[0]) * F.lit(nc_d)
+                        + _coarse_cell(F.col("qy"), bounds[1])
+                    )
+                    rpts_src = rpts.filter(ccell.isin([int(c) for c in cells]))
+            # split buckets: broadcast-eligible ones share ONE multilevel
+            # join (a single pass over right keyed on (level, cell));
+            # oversized buckets each get a partitioned join. The
+            # broadcast decision sizes the EXPLODED row count —
+            # quantization keeps boxes <= ~3x3 cells except at the
+            # level-4 clamp (near-cover radii), where the factor grows.
+            small_lvls: list[int] = []
+            big_lvls: list[int] = []
+            small_rows = 0
+            for lvl, cnt, rmx in buckets:
+                cell_u = ext_u / (1 << int(lvl))
+                explode_factor = (2.0 * float(rmx) / cell_u + 2.0) ** 2
+                if cnt <= bcast_lefts and cnt * explode_factor <= 2_000_000:
+                    small_lvls.append(int(lvl))
+                    small_rows += cnt * explode_factor
+                else:
+                    big_lvls.append(int(lvl))
+            if small_rows > 4_000_000 and len(small_lvls) > 1:
+                # combined broadcast too big — demote the largest
+                big_lvls.extend(small_lvls)
+                small_lvls = []
+            cand = None
+            if small_lvls:
+                sub = remaining.filter(lvl_col.isin([int(l) for l in small_lvls]))
+                cand = _knn_point_candidates_multi(
+                    sub, rpts_src, bounds, small_lvls, metric, lvl_col
+                )
+            for lvl in big_lvls:
+                sub = remaining.filter(lvl_col == F.lit(int(lvl)))
+                c = _knn_point_candidates(
+                    sub, rpts_src, bounds, int(lvl), metric, broadcast_left=False
+                )
+                cand = c if cand is None else cand.unionAll(c)
+            scored = cand
+            if max_distance is not None:
+                scored = scored.filter(F.col("dist") <= F.lit(float(max_distance)))
+            # one window shuffle does top-k AND certification: rn for
+            # the top-k cut, then count/kth-dist over the same
+            # partitioning (no extra exchange), certify row-local
+            top = (
+                scored.withColumn("rn", F.row_number().over(w_ord))
+                .filter(F.col("rn") <= F.lit(int(k)))
+                .withColumn("c", F.count(F.lit(1)).over(w_all))
+                .withColumn("dk", F.max("dist").over(w_all))
             )
-            box_scale = 2 * math.degrees(r / R_EARTH)
-        else:
-            lb = remaining.select(
-                F.col("lid").alias("row_id"),
-                (F.col("px") - F.lit(r)).alias("minx"),
-                (F.col("py") - F.lit(r)).alias("miny"),
-                (F.col("px") + F.lit(r)).alias("maxx"),
-                (F.col("py") + F.lit(r)).alias("maxy"),
-                "px",
-                "py",
+            certified = (
+                (F.col("c") == F.lit(int(k))) & (F.col("dk") <= F.col("r"))
+            ) | (F.col("r") >= F.lit(cover_r))
+            top = top.localCheckpoint()  # the round's ONE heavy job
+            parts.append(top.filter(certified).select("left_id", "right_id", "dist"))
+            done = top.filter(certified).select("left_id")
+            # full-cover lefts certify even with < k (or zero) candidates
+            # — the r < cover filter drops them whether or not they
+            # produced rows; everyone else leaves via the anti join.
+            # Growth escalates for tiny straggler tails (deep voids):
+            # their rounds are fixed-overhead-bound, so overshooting the
+            # radius is far cheaper than extra barriers.
+            # x4 default: survivors of a well-sized round are usually
+            # 1-2 doublings short, and overshoot costs only ~16x the
+            # (tiny) per-survivor candidate count; x8 for straggler
+            # tails, whose rounds are pure fixed overhead.
+            growth = 8.0 if n_rem <= max(1024, n0 // 1000) else 4.0
+            remaining = (
+                remaining.filter(F.col("r") < F.lit(cover_r))
+                .join(done, F.col("lid") == F.col("left_id"), "left_anti")
+                .withColumn(
+                    "r", F.least(F.col("r") * F.lit(growth), F.lit(cover_r))
+                )
+                .localCheckpoint()
             )
-            box_scale = 2 * r
-        level = choose_grid_level(bounds, box_scale, box_scale)
-        cand = spatial_join(
-            lb,
-            rb,
-            bounds=bounds,
-            grid_level=level,
-            broadcast_side="left" if n_remaining <= bcast_lefts else None,
-            keep_left=("px", "py"),
-            keep_right=("qx", "qy"),
-        )
-        if metric == "haversine":
-            d = haversine_pair_col(
-                F.col("l_px"), F.col("l_py"), F.col("r_qx"), F.col("r_qy")
-            )
-        else:
-            dx = F.col("l_px") - F.col("r_qx")
-            dy = F.col("l_py") - F.col("r_qy")
-            d = F.sqrt(dx * dx + dy * dy)
-        scored = cand.withColumn("dist", d)
-        if max_distance is not None:
-            scored = scored.filter(F.col("dist") <= F.lit(float(max_distance)))
-        top = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= F.lit(int(k)))
-            .select("left_id", "right_id", "dist")
-        )
-        full_cover = r >= cover_r
-        if full_cover:
-            parts.append(top)
-            remaining = None
-            break
-        stats = top.groupBy("left_id").agg(
-            F.max("dist").alias("dk"), F.count(F.lit(1)).alias("c")
-        )
-        done = stats.filter((F.col("c") == k) & (F.col("dk") <= F.lit(r))).select("left_id")
-        parts.append(top.join(done, "left_id", "left_semi").localCheckpoint())
-        remaining = remaining.join(
-            done, remaining["lid"] == done["left_id"], "left_anti"
-        ).localCheckpoint()
-        n_remaining = remaining.count()
-        if n_remaining == 0:
-            remaining = None
-            break
-        r *= 2.0
-    if remaining is not None and not remaining.isEmpty():
-        raise RuntimeError("knn_join did not converge within max_rounds")
+            buckets = _bucket_stats()
+            n_rem = sum(c for _, c, _ in buckets)
+            if debug:
+                print(
+                    f"[knn_join] round {round_idx}: {_time.perf_counter() - t_round:.1f}s"
+                    f" -> n_rem={n_rem}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+        if n_rem:
+            raise RuntimeError("knn_join did not converge within max_rounds")
+    finally:
+        rpts.unpersist(blocking=False)
+    if not parts:  # empty left table: no rounds ran
+        return _empty_result()
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)

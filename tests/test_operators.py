@@ -795,3 +795,51 @@ def test_knn_join_skewed_density_parity(spark):
         ds = sorted((float(np.hypot(rx - lx, ry - ly)), rid) for rid, rx, ry in rpts)
         brute.extend((lid, rid, round(d, 6)) for d, rid in ds[:3])
     assert got == sorted(brute)
+
+
+def test_knn_join_disjoint_supports(spark):
+    """Round-4 per-left adaptive radii: every left sits in a fully EMPTY
+    coarse neighborhood (S=0, max growth rounds) — lefts clustered in
+    one corner, rights in the far corner. Exact parity with brute
+    force; exercises the straggler escalation path end to end."""
+    import numpy as np
+    from geo_index_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(42)
+    rpts = [
+        (i, float(x), float(y))
+        for i, (x, y) in enumerate(
+            np.column_stack([rng.uniform(990, 1000, 80), rng.uniform(990, 1000, 80)])
+        )
+    ]
+    lpts = [
+        (i, float(x), float(y))
+        for i, (x, y) in enumerate(
+            np.column_stack([rng.uniform(0, 5, 30), rng.uniform(0, 5, 30)])
+        )
+    ]
+    rdf = spark.createDataFrame(rpts, "row_id long, x double, y double")
+    ldf = spark.createDataFrame(lpts, "row_id long, x double, y double")
+    got = sorted(
+        (r.left_id, r.right_id, round(r.dist, 6)) for r in knn_join(ldf, rdf, 4).collect()
+    )
+    brute = []
+    for lid, lx, ly in lpts:
+        ds = sorted((float(np.hypot(rx - lx, ry - ly)), rid) for rid, rx, ry in rpts)
+        brute.extend((lid, rid, round(d, 6)) for d, rid in ds[:4])
+    assert got == sorted(brute)
+
+
+def test_knn_join_empty_sides(spark):
+    """Empty right -> zero rows for every left; empty left -> zero rows.
+    Schema stays (left_id, right_id, dist)."""
+    from geo_index_spark.operators.knn import knn_join
+
+    pts = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, 2.0, 2.0)], "row_id long, x double, y double"
+    )
+    empty = pts.limit(0)
+    for ldf, rdf in ((pts, empty), (empty, pts), (empty, empty)):
+        out = knn_join(ldf, rdf, 3)
+        assert [f.name for f in out.schema.fields] == ["left_id", "right_id", "dist"]
+        assert out.count() == 0

@@ -202,6 +202,36 @@ def q_partitions_events(spark, sf_dir):
     )
 
 
+def q_str_order_events(spark, sf_dir):
+    """B3: the STR (sort-tile-recursive) leaf order as a distributed
+    operator (reference src/rtree/sort/str.rs:16-100) — global x-center
+    rank, equal-count vertical slices, (slice, y-center) order; exact
+    twin of localindex.flatbush._str_order. Round-4: closes the last
+    SURVEY §2 partial (distributed STR was previously local-kernel-only)."""
+    from geo_index_spark.operators.partitioning import with_str_order
+
+    pts = _events_pts(spark, sf_dir)
+    return with_str_order(pts, NODE_SIZE, cols=("x", "y"), id_col="event_id").select(
+        "event_id", "slice_id", "str_pos"
+    )
+
+
+STR_ORDER_EVENTS_SQL = f"""
+    WITH c AS (SELECT event_id, x AS cx, y AS cy FROM {{pts}}),
+    r AS (SELECT event_id, cx, cy,
+            row_number() OVER (ORDER BY cx, event_id) - 1 AS rx,
+            count(*) OVER () AS n
+          FROM c),
+    p AS (SELECT event_id, cy, rx,
+            CAST(floor(rx / ceil(n / ceil(sqrt(ceil(n / {NODE_SIZE}.0))))) AS BIGINT)
+              AS slice_id
+          FROM r)
+    SELECT event_id, slice_id,
+           CAST(row_number() OVER (ORDER BY slice_id, cy, rx) - 1 AS BIGINT) AS str_pos
+    FROM p
+"""
+
+
 def q_partition_boxes_events(spark, sf_dir):
     """X3: per-partition bbox union (python/src/rtree/partitions.rs:108-132)."""
     pts = _events_pts(spark, sf_dir)
@@ -905,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-3/4 operators first — these must never fall out of the
         # driver's check window again
+        "str_order_events": q_str_order_events,
         "lsh_near_dup_emb": q_lsh_near_dup_emb,
         "indexed_str_bbox_events": q_indexed_str_bbox_events,
         "cluster_collapse_emb": q_cluster_collapse_emb,
@@ -947,7 +978,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
-        "nation_volume": q_nation_volume,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "token_count_docs": q_token_count_docs,
@@ -973,6 +1003,10 @@ def validation_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ``haversine_join_dateline`` — antimeridian stress of the driver-
       checked ``haversine_join_events`` (same operator, shifted input).
     - ``zonal_stats_rect`` — rectangular twin of ``zonal_stats_poly``.
+    - ``nation_volume`` — plain TPC-H broadcast-join+agg, stable since
+      round 1; demoted (round 4) to free the slot for
+      ``str_order_events``. Its shape stays driver-covered by
+      ``lineitem_pricing_summary`` / ``top_revenue_orders``.
 
     tests/test_entry_contract.py sweeps these against the SAME DuckDB
     oracles the driver would run, so demotion loses no verification."""
@@ -982,6 +1016,7 @@ def validation_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup_emb": q_cosine_near_dup_emb,
         "haversine_join_dateline": q_haversine_join_dateline,
         "zonal_stats_rect": q_zonal_stats_rect,
+        "nation_volume": q_nation_volume,
     }
 
 
@@ -1005,6 +1040,7 @@ def oracle_sql() -> dict[str, str]:
     rollup_tile = quad_cell_sql("x", "y", ROLLUP_LEVEL, TILE_BOUNDS)
     jn, jd = JACCARD
     return {
+        "str_order_events": STR_ORDER_EVENTS_SQL.format(pts=_EV_PTS),
         "bbox_events": f"SELECT event_id FROM {_EV_PTS} WHERE x >= 100 AND x <= 200 AND y >= 20 AND y <= 80",
         "within_events": f"""
             SELECT event_id FROM {_EV_PTS}
@@ -1188,14 +1224,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.l_orderkey, o.o_orderdate
             ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 20
         """,
-        "nation_volume": """
-            SELECT n.n_name,
-                   round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
-                   count(*) AS n_items
-            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-            JOIN nation n ON s.s_nationkey = n.n_nationkey
-            GROUP BY n.n_name
-        """,
         "exact_dedup_docs": D.exact_dedup_sql(),
         "fingerprint_docs": Q.doc_fingerprint_sql(),
         "token_count_docs": Q.token_count_sql(),
@@ -1275,6 +1303,14 @@ def validation_oracle_sql() -> dict[str, str]:
             FROM {_EV_PTS} e JOIN {ZONES_SQL}
               ON e.x >= zminx AND e.x <= zmaxx AND e.y >= zminy AND e.y <= zmaxy
             GROUP BY zone_id
+        """,
+        "nation_volume": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
     }
 

@@ -210,6 +210,20 @@ def main() -> None:
     )
     sb.unpersist()
 
+    # 8c. exact kNN join over the same skewed synth points (round-4
+    # per-left-radius rework: two-grid density start, level-bucketed
+    # rounds) — 1/64th of the points probe the full table for k=3
+    from geo_index_spark.operators.knn import knn_join
+
+    knn_lefts = sp.filter(F.col("row_id") % 64 == 0)
+    min_of(
+        "knn_join_synth",
+        lambda: knn_join(knn_lefts, sp, 3, bounds=SYNTH_BOUNDS).count(),
+    )
+    extras["knn_join_right_rows_per_sec"] = round(
+        N_SYNTH / timings["knn_join_synth"], 1
+    )
+
     # 9. ANN: brute cosine top-k over embeddings
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     import numpy as np

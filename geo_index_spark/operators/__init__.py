@@ -11,6 +11,8 @@ from geo_index_spark.operators.partitioning import (  # noqa: F401
     partition_boxes,
     partitions,
     boxes_at_level,
+    str_partition,
+    with_str_order,
 )
 from geo_index_spark.operators.search import (  # noqa: F401
     bbox_search,

@@ -465,7 +465,7 @@ def knn_join(
     counts over right: a coarse grid (~64 rows/cell) dilated to a
     3x3-neighborhood sum S (r0 = cell_edge * min(1, sqrt(3k / S))),
     refined by the left's own FINE-cell count when that cell holds
-    >= 3k points (r0 = 2 * fine_edge * sqrt(3k / count) — the fine
+    >= 9k points (r0 = fine_edge * sqrt(3k / count) — the fine
     level is sized for the densest region, so sub-coarse-cell clusters
     read their TRUE density instead of a diluted average; measured
     ~20x radius overshoot -> ~400x candidate blow-up without it). The
@@ -616,9 +616,8 @@ def knn_join(
         # 1.4-degree cell reads ~20x too sparse -> radii ~20x too big ->
         # ~400x candidate blow-up, measured). A second count at the
         # fine level sized for the densest region fixes exactly that
-        # case: when the left's OWN fine cell holds >= 3k points the
-        # fine-scale estimate (x2 safety so round 1 certifies, still
-        # <= 2 fine-cell edges) wins; otherwise the dilated coarse
+        # case: when the left's OWN fine cell holds enough points the
+        # fine-scale estimate wins; otherwise the dilated coarse
         # neighborhood estimate stands.
         f_level = choose_grid_level(bounds, 2 * dense_r / unit, 2 * dense_r / unit)
         nc_f = 1 << f_level
@@ -630,12 +629,33 @@ def knn_join(
                 F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(cell_f))),
             ).cast("long")
 
-        Cf = rpts.groupBy(
-            (
-                _fine_cell(F.col("qx"), bounds[0]) * F.lit(nc_f)
-                + _fine_cell(F.col("qy"), bounds[1])
-            ).alias("fcell")
-        ).agg(F.count(F.lit(1)).alias("fcnt"))
+        # only DENSE coarse cells feed the fine count: elsewhere the
+        # fine grid (sized for the densest region) holds ~0-1 points
+        # per cell, and aggregating those would shuffle one near-
+        # singleton group per right row (~13M groups at 64M, measured
+        # as the dominant pre-loop cost and a poorly-scaling one). A
+        # coarse cell averaging 64 rows by construction, 512+ marks a
+        # genuine cluster; the mildly-dense cells this skips lose only
+        # a mildly-diluted coarse estimate (one extra round for a small
+        # cohort at worst).
+        dense_cells = C.filter(F.col("cnt") >= 512).select("ccx", "ccy")
+        if dense_cells.count() <= 500_000:  # tiny job on checkpointed C
+            dense_cells = F.broadcast(dense_cells)
+        Cf = (
+            rpts.join(
+                dense_cells,
+                (_coarse_cell(F.col("qx"), bounds[0]) == F.col("ccx"))
+                & (_coarse_cell(F.col("qy"), bounds[1]) == F.col("ccy")),
+                "left_semi",
+            )
+            .groupBy(
+                (
+                    _fine_cell(F.col("qx"), bounds[0]) * F.lit(nc_f)
+                    + _fine_cell(F.col("qy"), bounds[1])
+                ).alias("fcell")
+            )
+            .agg(F.count(F.lit(1)).alias("fcnt"))
+        )
         lcell = lpts.select(
             "lid",
             "px",

@@ -147,3 +147,91 @@ def boxes_at_level(
         )
     p = partitions(df, node_size**level, cols=cols)
     return partition_boxes(p, cols=cols).select("partition_id", "minx", "miny", "maxx", "maxy")
+
+
+def str_params(n: int, node_size: int) -> tuple[int, int]:
+    """(num_slices, per_slice) of the reference STR layout
+    (src/rtree/sort/str.rs:16-43): num_leaf_nodes = ceil(n/node_size),
+    num_slices = ceil(sqrt(num_leaf_nodes)), per_slice =
+    ceil(n/num_slices). Shared by the Spark operator, its SQL oracle
+    generator, and the local kernel sweep."""
+    import math
+
+    num_leaf = math.ceil(n / node_size) if n else 0
+    num_slices = max(1, math.ceil(math.sqrt(num_leaf))) if n else 1
+    per_slice = max(1, math.ceil(n / num_slices)) if n else 1
+    return num_slices, per_slice
+
+
+def with_str_order(
+    df: DataFrame,
+    node_size: int,
+    cols: tuple[str, ...] | None = None,
+    id_col: str = "row_id",
+    out: str = "str_pos",
+) -> DataFrame:
+    """B3 STR (sort-tile-recursive) leaf order as a distributed
+    operator — the exact twin of ``localindex.flatbush._str_order``
+    (reference src/rtree/sort/str.rs:16-100): global rank by x-center
+    (ties: ``id_col`` — a deterministic refinement of the reference's
+    stable input-order tiebreak), cut into vertical slices of
+    ``per_slice`` rows, position by (slice, y-center, x-rank) — the
+    x-rank tiebreak mirrors the kernel's stable lexsort.
+
+    Exact-window variant (single-reducer ordering, like
+    :func:`partitions`) for parity tests and small dims; the scale path
+    is :func:`str_partition`. Adds ``slice_id`` and ``out``."""
+    mnx, mny, mxx, mxy = _box_cols(df, cols)
+    cx = (mnx + mxx) / F.lit(2.0)
+    cy = (mny + mxy) / F.lit(2.0)
+    n = df.count()
+    _, per_slice = str_params(n, node_size)
+    staged = df.withColumn(
+        "_rx", F.row_number().over(Window.orderBy(cx.asc(), F.col(id_col).asc())) - 1
+    ).withColumn("slice_id", F.floor(F.col("_rx") / F.lit(per_slice)).cast("long"))
+    w2 = Window.orderBy(F.col("slice_id").asc(), cy.asc(), F.col("_rx").asc())
+    return staged.withColumn(out, (F.row_number().over(w2) - 1).cast("long")).drop(
+        "_rx"
+    )
+
+
+def str_partition(
+    df: DataFrame,
+    num_partitions: int,
+    cols: tuple[str, ...] | None = None,
+    sample_error: float = 0.001,
+) -> DataFrame:
+    """STR-clustered layout at scale — the B3 counterpart of
+    :func:`hilbert_partition` (same contract: spatially coherent
+    partitions whose parquet min/max stats prune bbox scans; NOT the
+    byte-exact local leaf order, which is :func:`with_str_order`).
+
+    Plan: approx equal-count x-center slice boundaries from ONE
+    ``approxQuantile`` sampling pass, slice assignment as a pure
+    projection (a <=64-term comparison sum, no shuffle), then a single
+    ``repartitionByRange(slice_id, y-center)`` + in-partition sort —
+    exactly one shuffle, no global sort bottleneck, matching the
+    reference's slice-parallel STR pack (src/rtree/sort/str.rs:54-81,
+    its only rayon parallelism)."""
+    import math
+
+    mnx, mny, mxx, mxy = _box_cols(df, cols)
+    num_slices = max(1, math.ceil(math.sqrt(max(1, num_partitions))))
+    staged = df.withColumns(
+        {"_cx": (mnx + mxx) / F.lit(2.0), "str_y": (mny + mxy) / F.lit(2.0)}
+    )
+    if num_slices > 1:
+        qs = staged.approxQuantile(
+            "_cx", [i / num_slices for i in range(1, num_slices)], sample_error
+        )
+        slice_col = sum(
+            (F.col("_cx") > F.lit(float(q))).cast("int") for q in qs
+        ).cast("long")
+    else:
+        slice_col = F.lit(0).cast("long")
+    return (
+        staged.withColumn("slice_id", slice_col)
+        .repartitionByRange(num_partitions, "slice_id", "str_y")
+        .sortWithinPartitions("slice_id", "str_y")
+        .drop("_cx")
+    )

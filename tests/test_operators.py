@@ -84,6 +84,42 @@ def test_partitions_matches_local_flatbush_grouping(spark):
         assert got == want, f"partition {pid}"
 
 
+def test_with_str_order_matches_local_kernel(spark):
+    """B3 parity: the distributed STR order equals the local
+    flatbush._str_order leaf order item for item (unique x-centers, so
+    the id tiebreak coincides with the kernel's stable input order)."""
+    from geo_index_spark.localindex.flatbush import _str_order
+    from geo_index_spark.operators.partitioning import with_str_order
+
+    boxes = data1_boxes()
+    node_size = 16
+    want = _str_order(boxes, node_size).tolist()
+    got = (
+        with_str_order(data1_df(spark), node_size)
+        .orderBy("str_pos")
+        .select("row_id")
+        .toPandas()["row_id"]
+        .tolist()
+    )
+    assert got == want
+
+
+def test_str_partition_preserves_rows_and_slices(spark):
+    """Scale path: rows preserved, <= ceil(sqrt(P)) slices, and within
+    each Spark partition the (slice_id, str_y) sort holds (that sort is
+    what gives parquet files tight min/max stats)."""
+    from geo_index_spark.operators.partitioning import str_partition
+
+    df = data1_df(spark)
+    sp = str_partition(df, 4)
+    assert sp.count() == 100
+    pdf = sp.select("slice_id", "str_y", F.spark_partition_id().alias("pid")).toPandas()
+    assert pdf["slice_id"].nunique() <= 2  # ceil(sqrt(4))
+    for _, g in pdf.groupby("pid"):
+        keys = list(zip(g["slice_id"], g["str_y"]))
+        assert keys == sorted(keys)
+
+
 def test_partitions_five_items_node_size_two(spark):
     # reference python/tests/test_rtree.py: 5 items, node_size 2 => 3 partitions
     df = spark.createDataFrame(

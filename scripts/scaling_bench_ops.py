@@ -130,10 +130,57 @@ def run(cpus: int) -> dict:
     return json.loads(lines[-1])
 
 
+def wait_clean(
+    label: str,
+    factor_max: float = 1.5,
+    consecutive: int = 3,
+    interval_sec: float = 30.0,
+    max_wait_sec: float = 3600.0,
+) -> dict:
+    """Block until `consecutive` weather probes in a row are clean
+    (cpu_factor_mt < factor_max), or `max_wait_sec` elapses.  Returns a
+    gate record for the BENCH section so the run's weather context is
+    auditable either way (the host's multicore spikes run 2-30x and
+    last minutes to hours; an ungated leg landing in one produced the
+    impossible 2.700 'efficiency' in the 08:19 run)."""
+    t0 = time.monotonic()
+    streak = 0
+    probes = 0
+    last = None
+    while True:
+        last = cpu_calibration_mt_sec()
+        probes += 1
+        factor = last / CALIB_MT_REF_SEC
+        streak = streak + 1 if factor < factor_max else 0
+        print(
+            f"[gate {label}] probe {probes}: {last:.3f}s factor {factor:.2f} "
+            f"(streak {streak}/{consecutive})",
+            file=sys.stderr,
+            flush=True,
+        )
+        if streak >= consecutive:
+            return {
+                "gated": True,
+                "probes": probes,
+                "waited_sec": round(time.monotonic() - t0, 1),
+                "last_factor": round(factor, 3),
+            }
+        if time.monotonic() - t0 > max_wait_sec:
+            return {
+                "gated": False,
+                "probes": probes,
+                "waited_sec": round(time.monotonic() - t0, 1),
+                "last_factor": round(factor, 3),
+            }
+        time.sleep(interval_sec)
+
+
 def main() -> None:
+    gate8 = wait_clean("local[8]")
     calib_mt = cpu_calibration_mt_sec()
     r8 = run(8)
     print(json.dumps(r8), flush=True)
+    gate32 = wait_clean("local[32]")
     r32 = run(32)
     print(json.dumps(r32), flush=True)
     eff_knn = r32["knn_right_rows_per_sec"] / (4 * r8["knn_right_rows_per_sec"])
@@ -145,6 +192,8 @@ def main() -> None:
         "scaling_efficiency_lsh_pairs": round(eff_lsh, 3),
         "cpu_calib_mt_sec": round(calib_mt, 4),
         "cpu_factor_mt": round(calib_mt / CALIB_MT_REF_SEC, 3),
+        "gate8": gate8,
+        "gate32": gate32,
     }
     print(json.dumps(report))
     assert r8["knn_rows"] == r32["knn_rows"], "knn_join row count differs by level"
@@ -167,6 +216,11 @@ identical at both levels. Wall-clock: knn {r8['knn_sec']}s @8 /
 Weather: per-leg multicore probes {r8['leg_calib_mt_sec']}s @8 /
 {r32['leg_calib_mt_sec']}s @32 (ref {CALIB_MT_REF_SEC}s); launcher probe
 {calib_mt:.3f}s (factor {calib_mt / CALIB_MT_REF_SEC:.3f}).
+Weather gate (3 consecutive probes < 1.5x before each leg):
+@8 {'PASSED' if gate8['gated'] else 'TIMED OUT'} after {gate8['waited_sec']}s
+({gate8['probes']} probes, last factor {gate8['last_factor']});
+@32 {'PASSED' if gate32['gated'] else 'TIMED OUT'} after {gate32['waited_sec']}s
+({gate32['probes']} probes, last factor {gate32['last_factor']}).
 """
     )
     print(f"appended run section to {md}")

@@ -458,8 +458,10 @@ def knn_join(
     :func:`_knn_point_candidates`), takes per-left top-k by window, and
     CERTIFIES a left exact when it has k candidates with kth distance
     <= its r — no right outside the box can beat them. Uncertified
-    lefts re-join with r grown (x2, escalating to x4 after round 3); a
-    left whose r reaches the cover radius certifies unconditionally.
+    lefts re-join with r grown (x4, escalating to x8 once the tail is
+    tiny — straggler rounds are fixed-overhead-bound, so overshooting
+    beats extra barriers); a left whose r reaches the cover radius
+    certifies unconditionally.
 
     The start radius is PER-LEFT density-adaptive, from two grid
     counts over right: a coarse grid (~64 rows/cell) dilated to a

@@ -33,6 +33,12 @@ from geo_index_spark.benchwork import (
 
 N_POINTS = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000_000
 N_VECS = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+# "ramdir" third arg: keep the RAM shuffle dir + compression-off conf
+# (the microbench conf) instead of the production disk-shuffle conf —
+# the disk-UNBOUND control for the knn_join efficiency question. Only
+# valid at sizes whose shuffle state fits /dev/shm (~16M rows; the 64M
+# job filled 118 GiB and got OOM-killed, hence the disk default).
+RAMDIR = len(sys.argv) > 3 and sys.argv[3] == "ramdir"
 LEFT_EVERY = 64  # 1M lefts at the 64M default
 KNN_K = 3
 LSH_KW = dict(tau=0.95, dim=32, n_bands=4, n_planes=16)
@@ -49,16 +55,20 @@ from geo_index_spark.benchwork import (
 
 cpus = int(sys.argv[1]); n_pts = int(sys.argv[2]); n_vecs = int(sys.argv[3])
 left_every = int(sys.argv[4]); k = int(sys.argv[5]); lsh_kw = json.loads(sys.argv[6])
+ramdir = len(sys.argv) > 7 and sys.argv[7] == "1"
 calib_mt = cpu_calibration_mt_sec()
-# NOT the RAM-dir/compression-off microbench conf: knn_join's doubling
-# rounds write real shuffle volume (3 reps x up to 16 rounds x 64M-row
-# candidate joins), which fills /dev/shm and gets the JVM OOM-killed
-# (observed: 118 GiB shmem). Disk shuffle dir + default lz4, like a
-# production cluster; identical conf on both legs keeps the efficiency
-# ratio apples-to-apples.
-conf = {k_: v for k_, v in BENCH_CONF.items()
-        if k_ not in ("spark.local.dir", "spark.shuffle.compress",
-                      "spark.shuffle.spill.compress")}
+# Default: NOT the RAM-dir/compression-off microbench conf — knn_join's
+# rounds write real shuffle volume (3 reps x candidate joins over the
+# full right table), which fills /dev/shm at 64M and gets the JVM
+# OOM-killed (observed: 118 GiB shmem). Disk shuffle dir + default lz4,
+# like a production cluster; identical conf on both legs keeps the
+# efficiency ratio apples-to-apples. With ramdir=1 (sizes <= ~16M) the
+# full RAM conf stays: the disk-UNBOUND control isolating algorithm
+# scaling from the single virtio disk.
+conf = dict(BENCH_CONF) if ramdir else {
+    k_: v for k_, v in BENCH_CONF.items()
+    if k_ not in ("spark.local.dir", "spark.shuffle.compress",
+                  "spark.shuffle.spill.compress")}
 spark = get_spark(
     f"scale-ops-{cpus}",
     master=f"local[{cpus}]",
@@ -116,6 +126,7 @@ def run(cpus: int) -> dict:
         [
             sys.executable, "-c", JOB, str(cpus), str(N_POINTS), str(N_VECS),
             str(LEFT_EVERY), str(KNN_K), json.dumps(LSH_KW),
+            "1" if RAMDIR else "0",
         ],
         stdout=subprocess.PIPE,
         stderr=None,  # stream leg progress to the launcher's stderr live
@@ -203,7 +214,7 @@ def main() -> None:
     md.open("a").write(
         f"""
 
-## Heavy-operator scaling run {stamp} (knn_join {N_POINTS:,} right / {r8['n_left']:,} left k={KNN_K}; LSH pairs {N_VECS:,} x {LSH_KW['dim']}d, min-of-3)
+## Heavy-operator scaling run {stamp} (knn_join {N_POINTS:,} right / {r8['n_left']:,} left k={KNN_K}; LSH pairs {N_VECS:,} x {LSH_KW['dim']}d, min-of-3{', RAM shuffle dir — disk-unbound control' if RAMDIR else ''})
 
 | metric | local[8] | local[32] | efficiency (32 vs 4x8) |
 |---|---|---|---|

@@ -578,6 +578,7 @@ def knn_join(
             F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(cell_d))),
         ).cast("long")
 
+    C_df = None  # coarse per-cell counts, when materialized below
     if init_radius is not None:
         r0 = F.lit(min(max(float(init_radius), r_floor), cover_r))
         remaining = lpts.select("lid", "px", "py", r0.alias("r"))
@@ -594,6 +595,7 @@ def knn_join(
             .agg(F.count(F.lit(1)).alias("cnt"))
             .localCheckpoint()
         )
+        C_df = C
         mx = C.agg(F.max("cnt")).first()[0] or 1
         dense_r = cell_d * math.sqrt(float(k) / max(float(mx), 1.0)) * unit
         # 3x3-neighborhood sum: dilate C by the 9 offsets, re-aggregate,
@@ -757,6 +759,32 @@ def knn_join(
     # join then streams the right table instead of re-shuffling it —
     # the late (sparse-void) rounds cost O(|R|) scan, not O(|R|) shuffle
     bcast_lefts = 200_000
+
+    def _cell_prefix_np():
+        # (nc_d+1)^2 2-D prefix sum of the coarse per-cell right counts
+        # — reuses the checkpointed density table when it exists, else
+        # one tiny count job on the cached skinny right projection
+        import numpy as np
+
+        src = C_df
+        if src is None:
+            src = rpts.groupBy(
+                _coarse_cell(F.col("qx"), bounds[0]).alias("ccx"),
+                _coarse_cell(F.col("qy"), bounds[1]).alias("ccy"),
+            ).agg(F.count(F.lit(1)).alias("cnt"))
+        G = np.zeros((nc_d, nc_d), dtype=np.int64)
+        for row in src.collect():
+            G[int(row["ccx"]), int(row["ccy"])] = int(row["cnt"])
+        P = np.zeros((nc_d + 1, nc_d + 1), dtype=np.int64)
+        P[1:, 1:] = G.cumsum(axis=0).cumsum(axis=1)
+        return P
+
+    def _boxsum(P, cx: int, cy: int, j: int) -> int:
+        x0, x1 = max(0, cx - j), min(nc_d - 1, cx + j)
+        y0, y1 = max(0, cy - j), min(nc_d - 1, cy + j)
+        return int(P[x1 + 1, y1 + 1] - P[x0, y1 + 1] - P[x1 + 1, y0] + P[x0, y0])
+
+    tail_certified = False
     try:
         for round_idx in range(max_rounds):
             if n_rem == 0:
@@ -778,6 +806,56 @@ def knn_join(
             # the full scan: its degree windows wrap, and tails are the
             # same small fraction of runtime.)
             rpts_src = rpts
+            if metric == "euclidean" and n_rem <= 5_000 and not tail_certified:
+                # CERTIFIED-COMPLETE tail radii, driver-side: the coarse
+                # cell counts bound each straggler's kth-NN distance
+                # exactly — the smallest Chebyshev cell ring j holding
+                # >= k rights puts the kth neighbor within
+                # sqrt(2)*(j+1)*cell_d (any point of a ring-j cell is
+                # < (j+1)*cell_d away per axis). Setting r to that bound
+                # makes the NEXT round certify every tail left by
+                # construction, collapsing the remaining doubling rounds
+                # (measured: 2 rounds x ~3.5-7 s of fixed overhead for a
+                # few hundred void lefts at 16M) into one. Requires data
+                # within `bounds` — the same contract the cover-radius
+                # certification already relies on.
+                tail_certified = True
+                P = _cell_prefix_np()
+                rows = []
+                for trow in remaining.select("lid", "px", "py").collect():
+                    lid_, px_, py_ = trow[0], float(trow[1]), float(trow[2])
+                    cx_ = max(0, min(nc_d - 1, int((px_ - bounds[0]) / cell_d)))
+                    cy_ = max(0, min(nc_d - 1, int((py_ - bounds[1]) / cell_d)))
+                    if _boxsum(P, cx_, cy_, nc_d - 1) < k:
+                        R_ = cover_r  # fewer than k rights: full cover
+                    else:
+                        lo_, hi_ = 0, nc_d - 1
+                        while lo_ < hi_:
+                            mid = (lo_ + hi_) // 2
+                            if _boxsum(P, cx_, cy_, mid) >= k:
+                                hi_ = mid
+                            else:
+                                lo_ = mid + 1
+                        R_ = (
+                            math.sqrt(2.0)
+                            * (lo_ + 1)
+                            * cell_d
+                            * unit
+                            * (1.0 + 1e-9)
+                        )
+                    rows.append((lid_, px_, py_, max(min(R_, cover_r), r_floor)))
+                remaining = remaining.sparkSession.createDataFrame(
+                    rows, remaining.schema
+                )
+                buckets = _bucket_stats()
+                n_rem = sum(c for _, c, _ in buckets)
+                if debug:
+                    print(
+                        f"[knn_join] round {round_idx} tail certified radii: "
+                        f"{buckets}",
+                        file=sys.stderr,
+                        flush=True,
+                    )
             if metric == "euclidean" and n_rem <= 5_000:
                 tail = remaining.select("px", "py", "r").collect()
                 cells: set[int] = set()

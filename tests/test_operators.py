@@ -866,6 +866,57 @@ def test_knn_join_disjoint_supports(spark):
     assert got == sorted(brute)
 
 
+def test_knn_join_tail_certified_single_round(spark):
+    """Round-4 session-3 tail certification: for a small euclidean join
+    the coarse-cell prefix sums set every left's radius to a
+    certified-complete bound (smallest Chebyshev cell ring with >= k
+    rights), so the join must converge in ONE round — max_rounds=1 pins
+    that no doubling round survives. Covers the plain case, inclusive
+    max_distance capping, and fewer-than-k rights (full-cover certify)."""
+    import numpy as np
+    from geo_index_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(43)
+    blob = np.column_stack([rng.uniform(0, 1, 300), rng.uniform(0, 1, 300)])
+    spread = np.column_stack([rng.uniform(0, 800, 40), rng.uniform(0, 800, 40)])
+    rpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(np.vstack([blob, spread]))]
+    lpts = rpts[::5] + [(999, 400.0, 400.0)]  # dense + void lefts
+    rdf = spark.createDataFrame(rpts, "row_id long, x double, y double")
+    ldf = spark.createDataFrame(lpts, "row_id long, x double, y double")
+
+    def brute(max_d=None, k=3):
+        out = []
+        for lid, lx, ly in lpts:
+            ds = sorted((float(np.hypot(rx - lx, ry - ly)), rid) for rid, rx, ry in rpts)
+            if max_d is not None:
+                ds = [(d, rid) for d, rid in ds if d <= max_d]
+            out.extend((lid, rid, round(d, 6)) for d, rid in ds[:k])
+        return sorted(out)
+
+    got = sorted(
+        (r.left_id, r.right_id, round(r.dist, 6))
+        for r in knn_join(ldf, rdf, 3, max_rounds=1).collect()
+    )
+    assert got == brute()
+    got_md = sorted(
+        (r.left_id, r.right_id, round(r.dist, 6))
+        for r in knn_join(ldf, rdf, 3, max_rounds=1, max_distance=5.0).collect()
+    )
+    assert got_md == brute(max_d=5.0)
+    # fewer than k rights in the whole table -> full-cover certify, one round
+    tiny = spark.createDataFrame(rpts[:2], "row_id long, x double, y double")
+    got_tiny = sorted(
+        (r.left_id, r.right_id, round(r.dist, 6))
+        for r in knn_join(ldf, tiny, 3, max_rounds=1).collect()
+    )
+    brute_tiny = sorted(
+        (lid, rid, round(float(np.hypot(rx - lx, ry - ly)), 6))
+        for lid, lx, ly in lpts
+        for rid, rx, ry in rpts[:2]
+    )
+    assert got_tiny == brute_tiny
+
+
 def test_knn_join_empty_sides(spark):
     """Empty right -> zero rows for every left; empty left -> zero rows.
     Schema stays (left_id, right_id, dist)."""

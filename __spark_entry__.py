@@ -926,6 +926,52 @@ def q_lsh_near_dup_emb(spark, sf_dir):
     return A.lsh_cosine_near_dup_pairs(emb, tau=COS_TAU, dim=64, n_bands=8, n_planes=8)
 
 
+def q_lsh_near_dup_emb_fast(spark, sf_dir):
+    """The PRODUCTION near-dup kernel (bucket-local blocked matmuls via
+    one repartition+sort + mapInArrow segment walk — textops/ann.py
+    ``lsh_cosine_near_dup_pairs_fast``) checked against the SAME
+    literal-hyperplane oracle as ``lsh_near_dup_emb``: identical band
+    keys and refine threshold, so the driver now pins the fast path
+    itself, not just its pytest-equivalence to the oracle-grade twin
+    (round-4 verdict #6)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.lsh_cosine_near_dup_pairs_fast(
+        emb, tau=COS_TAU, dim=64, n_bands=8, n_planes=8
+    )
+
+
+def q_simhash60_pairs_docs(spark, sf_dir):
+    """The WIDE-simhash banded-pairs machinery (the ``simhash64_pairs``
+    billions-of-docs scale path: >32-bit fingerprint, equal bands,
+    pigeonhole candidates, bit_count refine) driver-verified exactly at
+    n_bits=60 with the cross-engine H60 token hash — 60 bits is the
+    widest md5-prefix hash both engines can hold in a signed 64-bit.
+    Production runs the identical code path with xxhash64 at 64 bits
+    (round-4 verdict #5); only the hash column expression differs."""
+    from geo_index_spark.textops.hashes import h60_col
+
+    return D.simhash_wide_pairs(
+        _docs(spark, sf_dir), n_bits=60, n_bands=4, max_hamming=3, hash_col=h60_col
+    )
+
+
+def q_ivf_kmeans_ann_emb(spark, sf_dir):
+    """IVF-flat ANN with the SPHERICAL K-MEANS quantizer production
+    would actually use (COVERAGE.md recall sweep: nprobe=1 recall
+    0.31 -> 1.00 vs lowest-id centroids): deterministic hash-ordered
+    sample -> in-driver Lloyd's -> with_ivf_cell assignment -> probe ->
+    cosine top-k. ROWS-ONLY driver check: the trained centroids are
+    data-dependent and the driver's oracle strings must hold at every
+    sf (the verdict's inline-literals idea breaks because sf dirs share
+    no rows), and Lloyd's is an iterative algorithm outside sf-agnostic
+    SQL. The EXACT literal-replay parity (same SQL body as ivf_ann_emb
+    with the trained centroids inlined) runs per-sf-dir in
+    tests/test_entry_contract.py::test_ivf_kmeans_literal_oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = A.kmeans_centroids(emb, n_centroids=16, iters=5, sample_n=256)
+    return A.ivf_cosine_topk(emb, ANN_QUERY, ANN_K, centroids=cents, nprobe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """EXACTLY 50 entries (the driver checks at most 50 rows — round-3
     verdict #1: the registry outgrew the window and the tail went
@@ -933,7 +979,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     twins live in :func:`validation_queries` and are swept by the same
     oracle comparison in tests/test_entry_contract.py."""
     return {
-        # round-3/4 operators first — these must never fall out of the
+        # round-5 operators first (newest = riskiest)
+        "ivf_kmeans_ann_emb": q_ivf_kmeans_ann_emb,
+        "lsh_near_dup_emb_fast": q_lsh_near_dup_emb_fast,
+        "simhash60_pairs_docs": q_simhash60_pairs_docs,
+        # round-3/4 operators — these must never fall out of the
         # driver's check window again
         "str_order_events": q_str_order_events,
         "lsh_near_dup_emb": q_lsh_near_dup_emb,
@@ -948,8 +998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webgeo_extract_docs": q_webgeo_extract_docs,
         "webgeo_tile_rollup": q_webgeo_tile_rollup,
         # core §2 surface
-        "bbox_events": q_bbox_events,
-        "within_events": q_within_events,
         "knn_events": q_knn_events,
         "knn_haversine_events": q_knn_haversine_events,
         "hilbert_events": q_hilbert_events,
@@ -983,7 +1031,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_docs": q_token_count_docs,
         "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
-        "simhash_docs": q_simhash_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
     }
@@ -1007,10 +1054,21 @@ def validation_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       round 1; demoted (round 4) to free the slot for
       ``str_order_events``. Its shape stays driver-covered by
       ``lineitem_pricing_summary`` / ``top_revenue_orders``.
+    - ``bbox_events`` / ``within_events`` — un-indexed scan twins of
+      the driver-checked ``indexed_bbox_events`` /
+      ``indexed_kd_bbox_events`` / ``indexed_kd_within_events`` (same
+      predicates, same constants); demoted (round 5) to free slots for
+      ``ivf_kmeans_ann_emb`` / ``lsh_near_dup_emb_fast``.
+    - ``simhash_docs`` — the per-doc 32-bit fingerprint column;
+      driver coverage continues through ``simhash_pairs_docs`` (which
+      recomputes it) and the new ``simhash60_pairs_docs`` wide path.
 
     tests/test_entry_contract.py sweeps these against the SAME DuckDB
     oracles the driver would run, so demotion loses no verification."""
     return {
+        "bbox_events": q_bbox_events,
+        "within_events": q_within_events,
+        "simhash_docs": q_simhash_docs,
         "minhash_lsh_docs": q_minhash_lsh_docs,
         "cosine_topk_emb": q_cosine_topk_emb,
         "cosine_near_dup_emb": q_cosine_near_dup_emb,
@@ -1041,12 +1099,12 @@ def oracle_sql() -> dict[str, str]:
     jn, jd = JACCARD
     return {
         "str_order_events": STR_ORDER_EVENTS_SQL.format(pts=_EV_PTS),
-        "bbox_events": f"SELECT event_id FROM {_EV_PTS} WHERE x >= 100 AND x <= 200 AND y >= 20 AND y <= 80",
-        "within_events": f"""
-            SELECT event_id FROM {_EV_PTS}
-            WHERE x >= 210 AND x <= 290 AND y >= 35 AND y <= 115
-              AND (x - 250.0)*(x - 250.0) + (y - 75.0)*(y - 75.0) <= 1600.0
-        """,
+        "lsh_near_dup_emb_fast": A.lsh_cosine_near_dup_pairs_sql(
+            tau=COS_TAU, dim=64, n_bands=8, n_planes=8
+        ),
+        "simhash60_pairs_docs": D.simhash_wide_pairs_sql(
+            n_bits=60, n_bands=4, max_hamming=3
+        ),
         "within_haversine_events": f"""
             SELECT event_id FROM {GEO_PTS_SQL}
             WHERE 2.0 * 6378137.0 * asin(sqrt(least(1.0,
@@ -1229,7 +1287,6 @@ def oracle_sql() -> dict[str, str]:
         "token_count_docs": Q.token_count_sql(),
         "quality_docs": Q.quality_score_sql(),
         "langid_docs": Q.language_id_sql(),
-        "simhash_docs": D.simhash_sql(),
         "simhash_pairs_docs": D.simhash_pairs_sql(max_hamming=8),
         "ngram_jaccard_docs": D.ngram_jaccard_pairs_sql(n=4, tau_num=jn, tau_den=jd),
         "lsh_near_dup_emb": A.lsh_cosine_near_dup_pairs_sql(
@@ -1283,6 +1340,13 @@ def validation_oracle_sql() -> dict[str, str]:
     the driver (registry cap, round-3 verdict #1)."""
     jn, jd = JACCARD
     return {
+        "bbox_events": f"SELECT event_id FROM {_EV_PTS} WHERE x >= 100 AND x <= 200 AND y >= 20 AND y <= 80",
+        "within_events": f"""
+            SELECT event_id FROM {_EV_PTS}
+            WHERE x >= 210 AND x <= 290 AND y >= 35 AND y <= 115
+              AND (x - 250.0)*(x - 250.0) + (y - 75.0)*(y - 75.0) <= 1600.0
+        """,
+        "simhash_docs": D.simhash_sql(),
         "minhash_lsh_docs": D.minhash_near_dup_pairs_sql(
             n=4, num_hashes=16, tau_num=jn, tau_den=jd
         ),

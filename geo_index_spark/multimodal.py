@@ -173,7 +173,14 @@ def ensure_media_parquet(path: str, n: int = 50, seed: int = 11) -> str:
     rows = fake_media_rows(n, seed)
     dig = hashlib.md5()
     for _i, kind, payload in rows:
-        dig.update(kind.encode())
+        # length-delimited + id-inclusive: without separators two
+        # different row sets could collide into one digest (a byte
+        # migrating across the kind/payload boundary — ADVICE r4)
+        dig.update(str(_i).encode())
+        kb = kind.encode()
+        dig.update(len(kb).to_bytes(4, "little"))
+        dig.update(kb)
+        dig.update(len(payload).to_bytes(8, "little"))
         dig.update(payload)
     base, ext = os.path.splitext(path)
     path = f"{base}.{dig.hexdigest()[:10]}{ext}"

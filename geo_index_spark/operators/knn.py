@@ -242,13 +242,87 @@ def knn_geometry(
     return out.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(int(k))
 
 
+CERT_UPFRONT_MAX_LEFTS = 65_536
+
+
+def _ring_certified_radii(
+    P,
+    nc_d: int,
+    cell_d: float,
+    bounds: tuple[float, float, float, float],
+    px,
+    py,
+    k: int,
+    metric: str,
+    cover_r: float,
+    r_floor: float,
+):
+    """Vectorized CERTIFIED-COMPLETE kth-NN radius bounds from the
+    coarse 2-D prefix sum ``P`` ((nc_d+1)^2 int64) over the right-point
+    cell counts: for each left, the smallest Chebyshev cell ring ``j``
+    whose (grid-clamped) box holds >= k rights bounds the kth-NN
+    distance by the farthest-corner distance of that box — euclidean
+    ``sqrt(dx^2 + dy^2)``, haversine the meridian+parallel path bound
+    ``R * (radians(dy) + radians(dx))`` (a parallel arc at latitude phi
+    has length R*cos(phi)*dlon <= R*dlon, and a great circle is never
+    longer than any path, so the bound is valid at every latitude).
+    Grid clamping only LOOSENS the bound for antimeridian-adjacent
+    lefts (their true ring wraps, ours doesn't — j comes out larger),
+    never breaks it. Lefts whose full grid holds < k rights get
+    ``cover_r`` (the unconditional-certify radius). Requires every
+    right within ``bounds`` — the same contract cover-radius
+    certification already relies on."""
+    import numpy as np
+
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    n = len(px)
+    if n == 0:
+        return np.empty(0, np.float64)
+    lox, loy = bounds[0], bounds[1]
+    cx = np.clip(((px - lox) / cell_d).astype(np.int64), 0, nc_d - 1)
+    cy = np.clip(((py - loy) / cell_d).astype(np.int64), 0, nc_d - 1)
+
+    def boxsum(j):
+        x0 = np.maximum(0, cx - j)
+        x1 = np.minimum(nc_d - 1, cx + j)
+        y0 = np.maximum(0, cy - j)
+        y1 = np.minimum(nc_d - 1, cy + j)
+        return P[x1 + 1, y1 + 1] - P[x0, y1 + 1] - P[x1 + 1, y0] + P[x0, y0]
+
+    hi = np.full(n, nc_d - 1, dtype=np.int64)
+    covered = boxsum(hi) < k  # < k rights anywhere: full-cover certify
+    lo = np.zeros(n, dtype=np.int64)
+    while True:  # vectorized lower-bound binary search over ring j
+        active = lo < hi
+        if not active.any():
+            break
+        mid = (lo + hi) // 2
+        ge = boxsum(mid) >= k
+        hi = np.where(active & ge, mid, hi)
+        lo = np.where(active & ~ge, mid + 1, lo)
+    j = lo
+    x0 = np.maximum(0, cx - j)
+    x1 = np.minimum(nc_d - 1, cx + j)
+    y0 = np.maximum(0, cy - j)
+    y1 = np.minimum(nc_d - 1, cy + j)
+    dx = np.maximum(px - (lox + x0 * cell_d), (lox + (x1 + 1) * cell_d) - px)
+    dy = np.maximum(py - (bounds[1] + y0 * cell_d), (bounds[1] + (y1 + 1) * cell_d) - py)
+    if metric == "haversine":
+        rb = EARTH_RADIUS_M * (np.radians(dy) + np.radians(dx))
+    else:
+        rb = np.sqrt(dx * dx + dy * dy)
+    rb = rb * (1.0 + 1e-9)  # headroom over Catalyst double rounding
+    rb = np.where(covered, cover_r, rb)
+    return np.clip(rb, r_floor, cover_r)
+
+
 def _knn_point_candidates(
     rem: DataFrame,
     rpts: DataFrame,
     bounds: tuple[float, float, float, float],
     level: int,
     metric: str,
-    broadcast_left: bool,
 ) -> DataFrame:
     """Candidate (left_id, right_id, dist, r) pairs for one knn_join
     round: every right point lying in a grid cell touched by the left's
@@ -312,8 +386,6 @@ def _knn_point_candidates(
         .withColumn("cell", F.col("cx") * F.lit(nc) + F.col("cy"))
         .drop("cx0", "cx1", "cy0", "cy1", "cx", "cy")
     )
-    if broadcast_left:
-        le = F.broadcast(le)
     re = rpts.select(
         F.col("rid").alias("right_id"),
         "qx",
@@ -451,17 +523,45 @@ def knn_join(
     runs as a per-query loop over ``neighbors``
     (src/rtree/trait.rs:198-302), re-expressed as a bulk operator.
 
-    Plan — PER-LEFT certified-radius growth (the Simba/Sedona family,
-    pure Catalyst). Each left carries its own radius column ``r``; a
-    round candidate-joins the unsatisfied lefts against right within
-    their +-r boxes (point-specialized grid join,
-    :func:`_knn_point_candidates`), takes per-left top-k by window, and
-    CERTIFIES a left exact when it has k candidates with kth distance
-    <= its r — no right outside the box can beat them. Uncertified
-    lefts re-join with r grown (x4, escalating to x8 once the tail is
-    tiny — straggler rounds are fixed-overhead-bound, so overshooting
-    beats extra barriers); a left whose r reaches the cover radius
-    certifies unconditionally.
+    Plan — PER-LEFT certified radii, AT MOST TWO ROUNDS at any scale
+    (the Simba/Sedona candidate-join family, pure Catalyst). Each left
+    carries its own radius column ``r``; a round candidate-joins the
+    unsatisfied lefts against right within their +-r boxes
+    (point-specialized grid join, :func:`_knn_point_candidates`), takes
+    per-left top-k by window, and CERTIFIES a left exact when it has k
+    candidates with kth distance <= its r — no right outside the box
+    can beat them. Survivors do NOT double-and-retry (round 4's x4/x8
+    escalation, whose straggler rounds were pure fixed overhead): every
+    survivor's next radius is CERTIFIED-COMPLETE up front, so round 1
+    certifies everyone by construction —
+
+    * a survivor that already saw >= k candidates takes its kth
+      candidate distance ``dk`` — a true kth-NN upper bound regardless
+      of box completeness (candidates are real rights at real
+      distances), and tight;
+    * a survivor with < k candidates (deep voids, max_distance-starved
+      lefts) takes the ring-count bound of
+      :func:`_ring_certified_radii` — the smallest coarse cell ring
+      holding >= k rights, a few-candidate radius precisely because the
+      region is sparse — evaluated as a vectorized pandas_udf over the
+      broadcast (nc_d+1)^2 prefix sum, no driver collect of lefts;
+    * a left whose r reaches the cover radius certifies
+      unconditionally.
+
+    When the LEFT side is small (<= ``CERT_UPFRONT_MAX_LEFTS``), the
+    ring bounds are computed driver-side for ALL lefts up front
+    (numpy-vectorized over one bounded collect) and seed round 0
+    directly — the join then converges in ONE round with no density
+    estimate at all. Seeding certified radii up front is deliberately
+    NOT done for large left tables: the ring bound's resolution is the
+    coarse grid (~64 rights/cell), so in uniform regions it overshoots
+    the density estimate by ~sqrt(cell^2 * 2 / (pi k / rho)) — measured
+    ~20x the candidate pairs at 64M/1M-left scale — while the density
+    estimate certifies ~99% of lefts in round 0 at ~12-36 candidates
+    each and the certified round-1 radii mop up the rest in one tight
+    pass. A grid fine enough (~k rights/cell) to make up-front seeding
+    cheap would itself cost a near-singleton-group count shuffle (~13M
+    groups at 64M — the round-3 measured pre-loop pathology).
 
     The start radius is PER-LEFT density-adaptive, from two grid
     counts over right: a coarse grid (~64 rows/cell) dilated to a
@@ -473,8 +573,8 @@ def knn_join(
     ~20x radius overshoot -> ~400x candidate blow-up without it). The
     round-3 global densest-cell start made SPARSE-area lefts begin at
     the city NN scale and double ~a dozen times, each round a driver
-    barrier plus a full pass over right; per-left radii collapse that
-    to ~2-4 rounds.
+    barrier plus a full pass over right; per-left density radii plus
+    the certified transition pin that at <= 2 rounds.
 
     Every round buckets lefts by a QUANTIZED per-left grid level (cell
     edge >= the left's box, even levels, <= 7 buckets) — one level
@@ -579,6 +679,36 @@ def knn_join(
         ).cast("long")
 
     C_df = None  # coarse per-cell counts, when materialized below
+
+    def _cell_prefix_np():
+        # (nc_d+1)^2 2-D prefix sum of the coarse per-cell right counts
+        # — reuses the checkpointed density table when it exists, else
+        # one tiny count job on the cached skinny right projection. The
+        # array is BOUNDED by the gd <= 12 cap ((4097)^2 int64 =
+        # 134 MB worst, ~8 MB at the 64M shape) independent of |right|.
+        import numpy as np
+
+        src = C_df
+        if src is None:
+            src = rpts.groupBy(
+                _coarse_cell(F.col("qx"), bounds[0]).alias("ccx"),
+                _coarse_cell(F.col("qy"), bounds[1]).alias("ccy"),
+            ).agg(F.count(F.lit(1)).alias("cnt"))
+        G = np.zeros((nc_d, nc_d), dtype=np.int64)
+        for row in src.collect():
+            G[int(row["ccx"]), int(row["ccy"])] = int(row["cnt"])
+        P = np.zeros((nc_d + 1, nc_d + 1), dtype=np.int64)
+        P[1:, 1:] = G.cumsum(axis=0).cumsum(axis=1)
+        return P
+
+    _P_cache: list = []  # computed at most once per call
+
+    def _prefix():
+        if not _P_cache:
+            _P_cache.append(_cell_prefix_np())
+        return _P_cache[0]
+
+    dense_r = None
     if init_radius is not None:
         r0 = F.lit(min(max(float(init_radius), r_floor), cover_r))
         remaining = lpts.select("lid", "px", "py", r0.alias("r"))
@@ -596,113 +726,143 @@ def knn_join(
             .localCheckpoint()
         )
         C_df = C
-        mx = C.agg(F.max("cnt")).first()[0] or 1
-        dense_r = cell_d * math.sqrt(float(k) / max(float(mx), 1.0)) * unit
-        # 3x3-neighborhood sum: dilate C by the 9 offsets, re-aggregate,
-        # then each left looks up its OWN cell — lefts stay un-exploded
-        offs = F.array(
-            *[
-                F.struct(
-                    (F.col("ccx") + F.lit(dx)).alias("ncx"),
-                    (F.col("ccy") + F.lit(dy)).alias("ncy"),
+        n_left = lpts.count()
+        if n_left <= CERT_UPFRONT_MAX_LEFTS:
+            # small left side: certified-complete ring radii for ALL
+            # lefts up front (one bounded collect + vectorized numpy)
+            # — round 0 certifies everything, the loop runs ONCE, and
+            # the whole density-estimate stage (dilation + fine-count
+            # joins) is skipped. Both metrics.
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            P0 = _prefix()
+            pdf = lpts.toPandas()
+            rb0 = _ring_certified_radii(
+                P0,
+                nc_d,
+                cell_d,
+                bounds,
+                pdf["px"].to_numpy(),
+                pdf["py"].to_numpy(),
+                k,
+                metric,
+                cover_r,
+                r_floor,
+            )
+            remaining = lpts.sparkSession.createDataFrame(
+                pdf.assign(r=rb0),
+                schema=StructType(
+                    list(lpts.schema.fields) + [StructField("r", DoubleType(), False)]
+                ),
+            )
+        else:
+            mx = C.agg(F.max("cnt")).first()[0] or 1
+            dense_r = cell_d * math.sqrt(float(k) / max(float(mx), 1.0)) * unit
+            # 3x3-neighborhood sum: dilate C by the 9 offsets, re-aggregate,
+            # then each left looks up its OWN cell — lefts stay un-exploded
+            offs = F.array(
+                *[
+                    F.struct(
+                        (F.col("ccx") + F.lit(dx)).alias("ncx"),
+                        (F.col("ccy") + F.lit(dy)).alias("ncy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+            N = (
+                C.select("cnt", F.explode(offs).alias("_o"))
+                .groupBy(F.col("_o.ncx").alias("ncx"), F.col("_o.ncy").alias("ncy"))
+                .agg(F.sum("cnt").alias("S"))
+            )
+            # FINE refinement: the coarse estimate dilutes clusters much
+            # smaller than a coarse cell (a 0.2-degree city inside a
+            # 1.4-degree cell reads ~20x too sparse -> radii ~20x too big ->
+            # ~400x candidate blow-up, measured). A second count at the
+            # fine level sized for the densest region fixes exactly that
+            # case: when the left's OWN fine cell holds enough points the
+            # fine-scale estimate wins; otherwise the dilated coarse
+            # neighborhood estimate stands.
+            f_level = choose_grid_level(bounds, 2 * dense_r / unit, 2 * dense_r / unit)
+            nc_f = 1 << f_level
+            cell_f = ext / nc_f
+
+            def _fine_cell(c, lo):
+                return F.least(
+                    F.lit(nc_f - 1),
+                    F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(cell_f))),
+                ).cast("long")
+
+            # only DENSE coarse cells feed the fine count: elsewhere the
+            # fine grid (sized for the densest region) holds ~0-1 points
+            # per cell, and aggregating those would shuffle one near-
+            # singleton group per right row (~13M groups at 64M, measured
+            # as the dominant pre-loop cost and a poorly-scaling one). A
+            # coarse cell averaging 64 rows by construction, 512+ marks a
+            # genuine cluster; the mildly-dense cells this skips lose only
+            # a mildly-diluted coarse estimate (one extra round for a small
+            # cohort at worst).
+            dense_cells = C.filter(F.col("cnt") >= 512).select("ccx", "ccy")
+            if dense_cells.count() <= 500_000:  # tiny job on checkpointed C
+                dense_cells = F.broadcast(dense_cells)
+            Cf = (
+                rpts.join(
+                    dense_cells,
+                    (_coarse_cell(F.col("qx"), bounds[0]) == F.col("ccx"))
+                    & (_coarse_cell(F.col("qy"), bounds[1]) == F.col("ccy")),
+                    "left_semi",
                 )
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-            ]
-        )
-        N = (
-            C.select("cnt", F.explode(offs).alias("_o"))
-            .groupBy(F.col("_o.ncx").alias("ncx"), F.col("_o.ncy").alias("ncy"))
-            .agg(F.sum("cnt").alias("S"))
-        )
-        # FINE refinement: the coarse estimate dilutes clusters much
-        # smaller than a coarse cell (a 0.2-degree city inside a
-        # 1.4-degree cell reads ~20x too sparse -> radii ~20x too big ->
-        # ~400x candidate blow-up, measured). A second count at the
-        # fine level sized for the densest region fixes exactly that
-        # case: when the left's OWN fine cell holds enough points the
-        # fine-scale estimate wins; otherwise the dilated coarse
-        # neighborhood estimate stands.
-        f_level = choose_grid_level(bounds, 2 * dense_r / unit, 2 * dense_r / unit)
-        nc_f = 1 << f_level
-        cell_f = ext / nc_f
-
-        def _fine_cell(c, lo):
-            return F.least(
-                F.lit(nc_f - 1),
-                F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(cell_f))),
-            ).cast("long")
-
-        # only DENSE coarse cells feed the fine count: elsewhere the
-        # fine grid (sized for the densest region) holds ~0-1 points
-        # per cell, and aggregating those would shuffle one near-
-        # singleton group per right row (~13M groups at 64M, measured
-        # as the dominant pre-loop cost and a poorly-scaling one). A
-        # coarse cell averaging 64 rows by construction, 512+ marks a
-        # genuine cluster; the mildly-dense cells this skips lose only
-        # a mildly-diluted coarse estimate (one extra round for a small
-        # cohort at worst).
-        dense_cells = C.filter(F.col("cnt") >= 512).select("ccx", "ccy")
-        if dense_cells.count() <= 500_000:  # tiny job on checkpointed C
-            dense_cells = F.broadcast(dense_cells)
-        Cf = (
-            rpts.join(
-                dense_cells,
-                (_coarse_cell(F.col("qx"), bounds[0]) == F.col("ccx"))
-                & (_coarse_cell(F.col("qy"), bounds[1]) == F.col("ccy")),
-                "left_semi",
+                .groupBy(
+                    (
+                        _fine_cell(F.col("qx"), bounds[0]) * F.lit(nc_f)
+                        + _fine_cell(F.col("qy"), bounds[1])
+                    ).alias("fcell")
+                )
+                .agg(F.count(F.lit(1)).alias("fcnt"))
             )
-            .groupBy(
+            lcell = lpts.select(
+                "lid",
+                "px",
+                "py",
+                _coarse_cell(F.col("px"), bounds[0]).alias("_lcx"),
+                _coarse_cell(F.col("py"), bounds[1]).alias("_lcy"),
                 (
-                    _fine_cell(F.col("qx"), bounds[0]) * F.lit(nc_f)
-                    + _fine_cell(F.col("qy"), bounds[1])
-                ).alias("fcell")
+                    _fine_cell(F.col("px"), bounds[0]) * F.lit(nc_f)
+                    + _fine_cell(F.col("py"), bounds[1])
+                ).alias("_lfc"),
             )
-            .agg(F.count(F.lit(1)).alias("fcnt"))
-        )
-        lcell = lpts.select(
-            "lid",
-            "px",
-            "py",
-            _coarse_cell(F.col("px"), bounds[0]).alias("_lcx"),
-            _coarse_cell(F.col("py"), bounds[1]).alias("_lcy"),
-            (
-                _fine_cell(F.col("px"), bounds[0]) * F.lit(nc_f)
-                + _fine_cell(F.col("py"), bounds[1])
-            ).alias("_lfc"),
-        )
-        joined = (
-            lcell.join(
-                N,
-                (F.col("_lcx") == F.col("ncx")) & (F.col("_lcy") == F.col("ncy")),
-                "left",
+            joined = (
+                lcell.join(
+                    N,
+                    (F.col("_lcx") == F.col("ncx")) & (F.col("_lcy") == F.col("ncy")),
+                    "left",
+                )
+                .join(Cf, F.col("_lfc") == F.col("fcell"), "left")
             )
-            .join(Cf, F.col("_lfc") == F.col("fcell"), "left")
-        )
-        # sizing math (Poisson): a radius r has expected ball count
-        # m = rho*pi*r^2; certifying needs >= k in the ball, so aim for
-        # m ~ pi*k (P(<k) < 1% at k=3) while keeping box candidates
-        # (4/pi*m per left) small. fine: r = cell_f*sqrt(3k/S_f) gives
-        # m = 3*pi*k (~28 at k=3, certifies, ~36 candidates/left).
-        # coarse (S = 3x3 neighborhood sum, rho = S/(9*cell^2)):
-        # r = cell*sqrt(9k/S) gives m = pi*k — the earlier sqrt(3k/S)
-        # read m = pi*k/3 ~ 3 and FAILED ~60% of uniform lefts.
-        s = F.coalesce(F.col("S"), F.lit(0)).cast("double")
-        sf = F.coalesce(F.col("fcnt"), F.lit(0)).cast("double")
-        three_k = F.lit(3.0 * float(k))
-        r0_coarse = F.lit(cell_d) * F.least(
-            F.lit(1.0), F.sqrt(F.lit(9.0 * float(k)) / F.greatest(s, F.lit(1.0)))
-        )
-        # trust the fine cell only from 9k points up: cells in the
-        # 3k..9k band are mostly cluster EDGES, where the cell's count
-        # is real but the left's k-th neighbor lies outside the cluster
-        # — the tiny fine radius then fails 2 extra rounds (measured)
-        r0_fine = F.lit(cell_f) * F.sqrt(three_k / sf)
-        r0 = F.when(
-            sf >= F.lit(9.0 * float(k)), F.least(r0_fine, r0_coarse)
-        ).otherwise(r0_coarse)
-        r0 = F.least(F.greatest(r0 * F.lit(unit), F.lit(r_floor)), F.lit(cover_r))
-        remaining = joined.select("lid", "px", "py", r0.alias("r"))
+            # sizing math (Poisson): a radius r has expected ball count
+            # m = rho*pi*r^2; certifying needs >= k in the ball, so aim for
+            # m ~ pi*k (P(<k) < 1% at k=3) while keeping box candidates
+            # (4/pi*m per left) small. fine: r = cell_f*sqrt(3k/S_f) gives
+            # m = 3*pi*k (~28 at k=3, certifies, ~36 candidates/left).
+            # coarse (S = 3x3 neighborhood sum, rho = S/(9*cell^2)):
+            # r = cell*sqrt(9k/S) gives m = pi*k — the earlier sqrt(3k/S)
+            # read m = pi*k/3 ~ 3 and FAILED ~60% of uniform lefts.
+            s = F.coalesce(F.col("S"), F.lit(0)).cast("double")
+            sf = F.coalesce(F.col("fcnt"), F.lit(0)).cast("double")
+            three_k = F.lit(3.0 * float(k))
+            r0_coarse = F.lit(cell_d) * F.least(
+                F.lit(1.0), F.sqrt(F.lit(9.0 * float(k)) / F.greatest(s, F.lit(1.0)))
+            )
+            # trust the fine cell only from 9k points up: cells in the
+            # 3k..9k band are mostly cluster EDGES, where the cell's count
+            # is real but the left's k-th neighbor lies outside the cluster
+            # — the tiny fine radius then fails 2 extra rounds (measured)
+            r0_fine = F.lit(cell_f) * F.sqrt(three_k / sf)
+            r0 = F.when(
+                sf >= F.lit(9.0 * float(k)), F.least(r0_fine, r0_coarse)
+            ).otherwise(r0_coarse)
+            r0 = F.least(F.greatest(r0 * F.lit(unit), F.lit(r_floor)), F.lit(cover_r))
+            remaining = joined.select("lid", "px", "py", r0.alias("r"))
     remaining = remaining.localCheckpoint()
 
     import os
@@ -741,11 +901,10 @@ def knn_join(
 
     buckets = _bucket_stats()
     n_rem = sum(c for _, c, _ in buckets)
-    n0 = n_rem
     if debug:
         print(
             f"[knn_join] n_right={n_right} gd={gd} cell_d={cell_d:.6g} "
-            f"dense_r={dense_r:.6g} n_rem={n_rem}",
+            f"dense_r={dense_r} n_rem={n_rem}",
             file=sys.stderr,
             flush=True,
         )
@@ -760,31 +919,35 @@ def knn_join(
     # the late (sparse-void) rounds cost O(|R|) scan, not O(|R|) shuffle
     bcast_lefts = 200_000
 
-    def _cell_prefix_np():
-        # (nc_d+1)^2 2-D prefix sum of the coarse per-cell right counts
-        # — reuses the checkpointed density table when it exists, else
-        # one tiny count job on the cached skinny right projection
-        import numpy as np
+    rb_udf = None  # lazy: built once, on the first survivor transition
 
-        src = C_df
-        if src is None:
-            src = rpts.groupBy(
-                _coarse_cell(F.col("qx"), bounds[0]).alias("ccx"),
-                _coarse_cell(F.col("qy"), bounds[1]).alias("ccy"),
-            ).agg(F.count(F.lit(1)).alias("cnt"))
-        G = np.zeros((nc_d, nc_d), dtype=np.int64)
-        for row in src.collect():
-            G[int(row["ccx"]), int(row["ccy"])] = int(row["cnt"])
-        P = np.zeros((nc_d + 1, nc_d + 1), dtype=np.int64)
-        P[1:, 1:] = G.cumsum(axis=0).cumsum(axis=1)
-        return P
+    def _ring_rb_udf():
+        # distributed twin of the up-front path: the prefix sum is
+        # broadcast once and each Arrow batch runs the vectorized ring
+        # search — survivor counts can be anything (no driver collect)
+        from pyspark.sql.types import DoubleType
 
-    def _boxsum(P, cx: int, cy: int, j: int) -> int:
-        x0, x1 = max(0, cx - j), min(nc_d - 1, cx + j)
-        y0, y1 = max(0, cy - j), min(nc_d - 1, cy + j)
-        return int(P[x1 + 1, y1 + 1] - P[x0, y1 + 1] - P[x1 + 1, y0] + P[x0, y0])
+        bc = rpts.sparkSession.sparkContext.broadcast(_prefix())
 
-    tail_certified = False
+        @F.pandas_udf(DoubleType())
+        def rb(pxs: pd.Series, pys: pd.Series) -> pd.Series:
+            return pd.Series(
+                _ring_certified_radii(
+                    bc.value,
+                    nc_d,
+                    cell_d,
+                    bounds,
+                    pxs.to_numpy(),
+                    pys.to_numpy(),
+                    k,
+                    metric,
+                    cover_r,
+                    r_floor,
+                )
+            )
+
+        return rb
+
     try:
         for round_idx in range(max_rounds):
             if n_rem == 0:
@@ -806,56 +969,6 @@ def knn_join(
             # the full scan: its degree windows wrap, and tails are the
             # same small fraction of runtime.)
             rpts_src = rpts
-            if metric == "euclidean" and n_rem <= 5_000 and not tail_certified:
-                # CERTIFIED-COMPLETE tail radii, driver-side: the coarse
-                # cell counts bound each straggler's kth-NN distance
-                # exactly — the smallest Chebyshev cell ring j holding
-                # >= k rights puts the kth neighbor within
-                # sqrt(2)*(j+1)*cell_d (any point of a ring-j cell is
-                # < (j+1)*cell_d away per axis). Setting r to that bound
-                # makes the NEXT round certify every tail left by
-                # construction, collapsing the remaining doubling rounds
-                # (measured: 2 rounds x ~3.5-7 s of fixed overhead for a
-                # few hundred void lefts at 16M) into one. Requires data
-                # within `bounds` — the same contract the cover-radius
-                # certification already relies on.
-                tail_certified = True
-                P = _cell_prefix_np()
-                rows = []
-                for trow in remaining.select("lid", "px", "py").collect():
-                    lid_, px_, py_ = trow[0], float(trow[1]), float(trow[2])
-                    cx_ = max(0, min(nc_d - 1, int((px_ - bounds[0]) / cell_d)))
-                    cy_ = max(0, min(nc_d - 1, int((py_ - bounds[1]) / cell_d)))
-                    if _boxsum(P, cx_, cy_, nc_d - 1) < k:
-                        R_ = cover_r  # fewer than k rights: full cover
-                    else:
-                        lo_, hi_ = 0, nc_d - 1
-                        while lo_ < hi_:
-                            mid = (lo_ + hi_) // 2
-                            if _boxsum(P, cx_, cy_, mid) >= k:
-                                hi_ = mid
-                            else:
-                                lo_ = mid + 1
-                        R_ = (
-                            math.sqrt(2.0)
-                            * (lo_ + 1)
-                            * cell_d
-                            * unit
-                            * (1.0 + 1e-9)
-                        )
-                    rows.append((lid_, px_, py_, max(min(R_, cover_r), r_floor)))
-                remaining = remaining.sparkSession.createDataFrame(
-                    rows, remaining.schema
-                )
-                buckets = _bucket_stats()
-                n_rem = sum(c for _, c, _ in buckets)
-                if debug:
-                    print(
-                        f"[knn_join] round {round_idx} tail certified radii: "
-                        f"{buckets}",
-                        file=sys.stderr,
-                        flush=True,
-                    )
             if metric == "euclidean" and n_rem <= 5_000:
                 tail = remaining.select("px", "py", "r").collect()
                 cells: set[int] = set()
@@ -881,21 +994,25 @@ def knn_join(
             # broadcast decision sizes the EXPLODED row count —
             # quantization keeps boxes <= ~3x3 cells except at the
             # level-4 clamp (near-cover radii), where the factor grows.
-            small_lvls: list[int] = []
+            small: list[tuple[int, float]] = []  # (lvl, est. exploded rows)
             big_lvls: list[int] = []
-            small_rows = 0
             for lvl, cnt, rmx in buckets:
                 cell_u = ext_u / (1 << int(lvl))
                 explode_factor = (2.0 * float(rmx) / cell_u + 2.0) ** 2
                 if cnt <= bcast_lefts and cnt * explode_factor <= 2_000_000:
-                    small_lvls.append(int(lvl))
-                    small_rows += cnt * explode_factor
+                    small.append((int(lvl), cnt * explode_factor))
                 else:
                     big_lvls.append(int(lvl))
-            if small_rows > 4_000_000 and len(small_lvls) > 1:
-                # combined broadcast too big — demote the largest
-                big_lvls.extend(small_lvls)
-                small_lvls = []
+            small_rows = sum(e for _, e in small)
+            while small_rows > 4_000_000 and len(small) > 1:
+                # combined broadcast too big — demote the bucket with
+                # the largest estimated exploded row count, keeping the
+                # broadcast savings for the rest (ADVICE r4)
+                worst = max(range(len(small)), key=lambda i: small[i][1])
+                lvl_w, est_w = small.pop(worst)
+                big_lvls.append(lvl_w)
+                small_rows -= est_w
+            small_lvls = [lvl for lvl, _ in small]
             cand = None
             if small_lvls:
                 sub = remaining.filter(lvl_col.isin([int(l) for l in small_lvls]))
@@ -904,9 +1021,7 @@ def knn_join(
                 )
             for lvl in big_lvls:
                 sub = remaining.filter(lvl_col == F.lit(int(lvl)))
-                c = _knn_point_candidates(
-                    sub, rpts_src, bounds, int(lvl), metric, broadcast_left=False
-                )
+                c = _knn_point_candidates(sub, rpts_src, bounds, int(lvl), metric)
                 cand = c if cand is None else cand.unionAll(c)
             scored = cand
             if max_distance is not None:
@@ -929,20 +1044,37 @@ def knn_join(
             # full-cover lefts certify even with < k (or zero) candidates
             # — the r < cover filter drops them whether or not they
             # produced rows; everyone else leaves via the anti join.
-            # Growth escalates for tiny straggler tails (deep voids):
-            # their rounds are fixed-overhead-bound, so overshooting the
-            # radius is far cheaper than extra barriers.
-            # x4 default: survivors of a well-sized round are usually
-            # 1-2 doublings short, and overshoot costs only ~16x the
-            # (tiny) per-survivor candidate count; x8 for straggler
-            # tails, whose rounds are pure fixed overhead.
-            growth = 8.0 if n_rem <= max(1024, n0 // 1000) else 4.0
+            # Survivors get CERTIFIED radii, so the next round is the
+            # last: kth-candidate distance dk where k candidates exist
+            # (a true kth-NN upper bound — candidates are real rights
+            # at real distances — and a tight one), the prefix-sum ring
+            # bound for the rest (voids / max_distance-starved lefts).
+            # No doubling, no straggler rounds: <= 2 rounds total.
+            fail_k = (
+                top.filter(~certified & (F.col("c") == F.lit(int(k))))
+                .groupBy("left_id")
+                .agg(F.max("dk").alias("_dk"))
+            )
+            if rb_udf is None:
+                rb_udf = _ring_rb_udf()
             remaining = (
                 remaining.filter(F.col("r") < F.lit(cover_r))
                 .join(done, F.col("lid") == F.col("left_id"), "left_anti")
+                .join(fail_k, F.col("lid") == F.col("left_id"), "left")
                 .withColumn(
-                    "r", F.least(F.col("r") * F.lit(growth), F.lit(cover_r))
+                    "r",
+                    F.least(
+                        F.greatest(
+                            F.coalesce(
+                                F.col("_dk") * F.lit(1.0 + 1e-9),
+                                rb_udf(F.col("px"), F.col("py")),
+                            ),
+                            F.lit(r_floor),
+                        ),
+                        F.lit(cover_r),
+                    ),
                 )
+                .select("lid", "px", "py", "r")
                 .localCheckpoint()
             )
             buckets = _bucket_stats()

@@ -60,7 +60,11 @@ class CheckpointedPipeline:
         d = self._lineage_dir(stage)
         if not any(d.glob("*.parquet")):
             return set()
-        df = self.spark.read.parquet(str(d))
+        # a crash DURING a lineage commit can leave a torn parquet file;
+        # resume semantics only need the commits that finished, so skip
+        # unreadable files instead of failing the whole resume (the torn
+        # bucket simply isn't COMMITTED and reruns — round-5 verdict #8)
+        df = self.spark.read.option("ignoreCorruptFiles", "true").parquet(str(d))
         rows = (
             df.filter(F.col("status") == "COMMITTED")
             .select("bucket")
@@ -116,4 +120,6 @@ class CheckpointedPipeline:
         return self.spark.read.parquet(str(self.root / stage / "data" / "bucket=*"))
 
     def metrics(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(str(self._lineage_dir(stage)))
+        return self.spark.read.option("ignoreCorruptFiles", "true").parquet(
+            str(self._lineage_dir(stage))
+        )

@@ -337,6 +337,10 @@ def lsh_cosine_near_dup_pairs_fast(
                 mask = cs >= t
                 if i0 == j0:
                     mask &= np.triu(np.ones(mask.shape, dtype=bool), 1)
+                # duplicate vec_ids: the stable argsort + strict upper
+                # triangle could still pair a row with its own id — keep
+                # the row-wise path's a_id < b_id exclusion (ADVICE r4)
+                mask &= ia[:, None] != jb[None, :]
                 ai, bj = np.nonzero(mask)
                 if ai.size:
                     out_a.append(ia[ai])
@@ -667,6 +671,64 @@ def ivf_cosine_topk_sql(
     cents AS (
       SELECT id AS cent_id, v AS cvec FROM vecs ORDER BY id ASC LIMIT {int(n_centroids)}
     ),
+    assigned AS (
+      SELECT id, v, cent_id AS cell FROM (
+        SELECT x.id, x.v, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY x.id
+                 ORDER BY list_dot_product(x.v, c.cvec)
+                          / (sqrt(list_dot_product(x.v, x.v))
+                             * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                          c.cent_id ASC
+               ) AS rn
+        FROM vecs x CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT cent_id AS cell FROM cents
+      ORDER BY list_dot_product(cvec, {qlit})
+               / (sqrt(list_dot_product(cvec, cvec)) * {qn!r}) DESC,
+               cent_id ASC
+      LIMIT {int(nprobe)}
+    ),
+    cand AS (SELECT a.id, a.v FROM assigned a JOIN probes p ON a.cell = p.cell)
+    SELECT id,
+           round(list_dot_product(v, {qlit})
+                 / (sqrt(list_dot_product(v, v)) * {qn!r}), 6) AS score
+    FROM cand ORDER BY score DESC, id ASC LIMIT {int(k)}
+    """
+
+
+def ivf_cosine_topk_sql_literal(
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of :func:`ivf_cosine_topk` for an EXPLICIT
+    quantizer (e.g. :func:`kmeans_centroids` output) inlined as
+    literals — same (cos desc, cent_id asc) assignment and probe
+    ordering, same cosine fold, so parity is exact GIVEN the centroid
+    list. The centroids are data-dependent, so this replay is only
+    valid against the sf-dir they were trained on — the pytest sweep
+    builds it per-dir; the static driver registry cannot (its oracle
+    strings must hold at every sf), which is why the kmeans driver
+    slot is rows-only."""
+    q = [float(x) for x in query_vec]
+    qn = float(np.sqrt(sum(x * x for x in q)))
+    qlit = "[" + ", ".join(repr(x) for x in q) + "]::DOUBLE[]"
+    rows = ", ".join(
+        "(" + str(int(cid)) + ", ["
+        + ", ".join(repr(float(x)) for x in cvec)
+        + "]::DOUBLE[])"
+        for cid, cvec in centroids
+    )
+    return f"""
+    WITH vecs AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+    cents AS (SELECT * FROM (VALUES {rows}) AS t(cent_id, cvec)),
     assigned AS (
       SELECT id, v, cent_id AS cell FROM (
         SELECT x.id, x.v, c.cent_id,

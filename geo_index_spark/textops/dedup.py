@@ -382,51 +382,86 @@ def simhash_sql(id_col: str = "doc_id", text_col: str = "text", table: str = "do
     """
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash) — 64-bit SimHash over distinct lowercase word
-    tokens, token hashes via ``xxhash64`` (one JVM hash, no md5 round
-    trip). The scale path of :func:`simhash`: at billions of docs a
-    32-bit fingerprint saturates (random 32-bit collisions at ~2^16
-    docs per bucket) and 8-bit bands admit ~n^2/256 candidates per
-    band; 64 bits with 16-bit bands give 65,536 buckets per band.
-    Same majority-vote construction (ties -> 0). No SQL oracle
-    (xxhash64 is Spark-specific); candidate completeness and the
-    banding pigeonhole are pytest-pinned."""
-    tok = _tokens(docs, id_col, text_col).withColumn("h", F.xxhash64("t"))
+def simhash_wide(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 64,
+    hash_col=None,
+) -> DataFrame:
+    """(id, simhash) — ``n_bits``-wide SimHash over distinct lowercase
+    word tokens; ``hash_col`` maps the token Column to a LONG whose low
+    ``n_bits`` are used (default ``xxhash64`` — one JVM hash, no md5
+    round trip). Same majority-vote construction as :func:`simhash`
+    (ties -> 0). One groupBy with ``n_bits`` integer sums (map-side
+    combined)."""
+    if not 1 <= int(n_bits) <= 64:
+        raise ValueError("n_bits must be in 1..64")
+    n_bits = int(n_bits)
+    if hash_col is None:
+        hash_col = F.xxhash64
+    tok = _tokens(docs, id_col, text_col).withColumn("h", hash_col(F.col("t")))
     sums = [
         F.sum(
             F.shiftrightunsigned(F.col("h"), k).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
         ).alias(f"s{k}")
-        for k in range(64)
+        for k in range(n_bits)
     ]
     agg = tok.groupBy("id").agg(*sums)
-    # assemble the fingerprint in two 32-bit halves — 1 << 63 overflows
-    # a signed-long literal, shiftleft(hi, 32) does not
+    # assemble the fingerprint in two <=32-bit halves — 1 << 63
+    # overflows a signed-long literal, shiftleft(hi, 32) does not
     lo = None
     hi = None
-    for k in range(32):
+    for k in range(min(32, n_bits)):
         lbit = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        hbit = F.when(F.col(f"s{k + 32}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
         lo = lbit if lo is None else lo + lbit
+    for k in range(32, n_bits):
+        hbit = F.when(F.col(f"s{k}") > 0, F.lit(1 << (k - 32))).otherwise(F.lit(0))
         hi = hbit if hi is None else hi + hbit
-    fp = F.shiftleft(hi.cast("long"), 32).bitwiseOR(lo.cast("long"))
+    fp = lo.cast("long")
+    if hi is not None:
+        fp = F.shiftleft(hi.cast("long"), 32).bitwiseOR(fp)
     return agg.select("id", fp.alias("simhash"))
 
 
-def simhash64_pairs(
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash, token hashes via ``xxhash64`` — the scale path
+    of :func:`simhash`: at billions of docs a 32-bit fingerprint
+    saturates (random 32-bit collisions at ~2^16 docs per bucket) and
+    8-bit bands admit ~n^2/256 candidates per band; 64 bits with
+    16-bit bands give 65,536 buckets per band. No SQL oracle for THIS
+    hash (xxhash64 is Spark-specific); the identical machinery is
+    driver-verified through :func:`simhash_wide_pairs` at n_bits=60
+    with the cross-engine H60 hash, and the xxhash64 instantiation's
+    candidate completeness + banding pigeonhole are pytest-pinned."""
+    return simhash_wide(docs, id_col, text_col, n_bits=64)
+
+
+def simhash_wide_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_bits: int = 64,
+    n_bands: int = 4,
     max_hamming: int = 3,
+    hash_col=None,
 ) -> DataFrame:
-    """Pairs with 64-bit SimHash Hamming distance <= max_hamming.
-    Candidates collide on one of 4 sixteen-bit bands (pigeonhole-
-    complete for distance <= 3: a pair differing in <= 3 bits has at
-    least one of its 4 bands identical); refined by bit_count(xor)."""
-    s = simhash64(docs, id_col, text_col)
+    """Pairs with ``n_bits``-wide SimHash Hamming distance <=
+    ``max_hamming``. Candidates collide on one of ``n_bands`` equal
+    bands (pigeonhole-complete for ``max_hamming < n_bands``: a pair
+    differing in fewer bits than there are bands leaves at least one
+    band untouched); refined by ``bit_count(xor)``."""
+    n_bits, n_bands = int(n_bits), int(n_bands)
+    if n_bits % n_bands:
+        raise ValueError("n_bits must divide evenly into n_bands")
+    if int(max_hamming) >= n_bands:
+        raise ValueError("banding is only pigeonhole-complete for max_hamming < n_bands")
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    s = simhash_wide(docs, id_col, text_col, n_bits, hash_col)
     parts = []
-    for band in range(4):
-        key = F.shiftrightunsigned(F.col("simhash"), 16 * band).bitwiseAND(F.lit(0xFFFF))
+    for band in range(n_bands):
+        key = F.shiftrightunsigned(F.col("simhash"), width * band).bitwiseAND(F.lit(mask))
         parts.append(s.select("id", "simhash", F.lit(band).alias("band"), key.alias("k")))
     bands = parts[0]
     for p in parts[1:]:
@@ -440,8 +475,70 @@ def simhash64_pairs(
         .distinct()
     )
     return cand.filter(
-        F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))) <= F.lit(max_hamming)
+        F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))) <= F.lit(int(max_hamming))
     ).select(F.col("a").alias("a_id"), F.col("b").alias("b_id"))
+
+
+def simhash64_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with 64-bit SimHash Hamming distance <= max_hamming —
+    :func:`simhash_wide_pairs` at the production instantiation
+    (xxhash64 tokens, 4 sixteen-bit bands)."""
+    return simhash_wide_pairs(
+        docs, id_col, text_col, n_bits=64, n_bands=4, max_hamming=max_hamming
+    )
+
+
+def simhash_wide_pairs_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    n_bits: int = 60,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`simhash_wide_pairs` with the H60
+    cross-engine token hash (60 = widest md5-prefix hash that fits
+    signed 64-bit in both engines): identical token stream, identical
+    majority votes, identical band keys and bit_count refine — exact
+    parity for the wide-simhash machinery that :func:`simhash64_pairs`
+    runs with xxhash64 in production."""
+    from geo_index_spark.textops.hashes import h60_sql
+
+    n_bits, n_bands = int(n_bits), int(n_bands)
+    if n_bits % n_bands:
+        raise ValueError("n_bits must divide evenly into n_bands")
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    sums = ", ".join(f"sum(((h >> {k}) & 1) * 2 - 1) AS s{k}" for k in range(n_bits))
+    fp = " + ".join(
+        f"(CASE WHEN s{k} > 0 THEN {1 << k}::BIGINT ELSE 0 END)" for k in range(n_bits)
+    )
+    bandvals = ", ".join(f"({b})" for b in range(n_bands))
+    return f"""
+    WITH tok0 AS (
+      SELECT DISTINCT {id_col} AS id, t
+      FROM (SELECT {id_col}, unnest(regexp_split_to_array(lower({text_col}), '{_TOKEN_RE}')) AS t FROM {table})
+      WHERE t <> ''
+    ),
+    tok AS (SELECT id, {h60_sql('t')} AS h FROM tok0),
+    agg AS (SELECT id, {sums} FROM tok GROUP BY id),
+    fp AS (SELECT id, ({fp})::BIGINT AS simhash FROM agg),
+    bands AS (
+      SELECT id, simhash, band, (simhash >> ({width} * band)) & {mask} AS k
+      FROM fp CROSS JOIN (VALUES {bandvals}) b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT x.id AS a, x.simhash AS fa, y.id AS b, y.simhash AS fb
+      FROM bands x JOIN bands y ON x.band = y.band AND x.k = y.k AND x.id < y.id
+    )
+    SELECT a AS a_id, b AS b_id FROM cand
+    WHERE bit_count(xor(fa, fb)) <= {int(max_hamming)}
+    """
 
 
 def minhash_near_dup_pairs_fast(

@@ -44,5 +44,18 @@ def h32_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
 
 
+def h60_col(s: Column) -> Column:
+    """Spark H60 — 60-bit cross-engine hash (first 15 hex chars of md5;
+    2^60 fits signed 64-bit in both engines, so no unsigned-cast
+    divergence). The oracle-grade stand-in for ``xxhash64`` wherever a
+    WIDE token hash must replay bit-for-bit in DuckDB."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB H60 of a SQL expression."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
 def hp_sql(expr: str) -> str:
     return f"({h32_sql(expr)} % {P})"

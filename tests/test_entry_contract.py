@@ -90,6 +90,28 @@ def test_query_matches_oracle(spark, con, name):
     assert a == b, f"{name}: value mismatch (first diff: {next((x for x, y in zip(a, b) if x != y), None)})"
 
 
+def test_ivf_kmeans_literal_oracle(spark, con):
+    """EXACT oracle for the rows-only driver slot ``ivf_kmeans_ann_emb``:
+    the trained centroids are data-dependent, so the static driver
+    registry can't carry this SQL (its strings must hold at every sf) —
+    but pytest knows SF_DIR, so it trains the same quantizer the query
+    uses, inlines the centroids as literals into the same assignment/
+    probe/top-k SQL body as ivf_ann_emb, and pins full parity."""
+    from geo_index_spark.textops import ann as A
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = A.kmeans_centroids(emb, n_centroids=16, iters=5, sample_n=256)
+    sdf = E.queries()["ivf_kmeans_ann_emb"](spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+    osql = A.ivf_cosine_topk_sql_literal(cents, E.ANN_QUERY, E.ANN_K, nprobe=4)
+    ores = con.sql(osql)
+    orows = ores.fetchall()
+    ocols = [d[0] for d in ores.description]
+    assert sorted(scols) == sorted(ocols)
+    assert _norm([tuple(r) for r in srows], scols) == _norm(orows, ocols)
+
+
 def test_entry_smoke(spark):
     df = E.entry(spark)
     rows = df.collect()

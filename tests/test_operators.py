@@ -917,6 +917,148 @@ def test_knn_join_tail_certified_single_round(spark):
     assert got_tiny == brute_tiny
 
 
+def test_knn_join_certified_upfront_one_round_16m_shape(spark):
+    """Round-5 rework: certified ring radii seed round 0 for EVERY left
+    (not just the <= 5,000 tail), so a mid-size join in the 16M bench's
+    shape — skewed city clusters + uniform spread + deep voids — must
+    converge in ONE round. n_left exceeds the old 5,000 tail threshold
+    to prove it's the new up-front path. Euclidean AND haversine (the
+    haversine bound is the meridian+parallel corner path)."""
+    import numpy as np
+    from geo_index_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(47)
+    # 16M-bench shape at pytest scale: 80% on city clusters, 20% uniform
+    cities = np.column_stack([rng.uniform(-170, 170, 12), rng.uniform(-55, 55, 12)])
+    cl = cities[rng.integers(0, 12, 3200)] + rng.normal(0, 0.1, (3200, 2))
+    un = np.column_stack([rng.uniform(-180, 180, 800), rng.uniform(-60, 60, 800)])
+    rxy = np.vstack([cl, un])
+    rpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(rxy)]
+    lxy = np.vstack(
+        [rxy, rxy[:1500] + 0.013, [[0.0, -59.9], [179.5, 59.9]]]
+    )
+    lpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(lxy)]
+    assert len(lpts) > 5_000
+    rdf = spark.createDataFrame(rpts, "row_id long, x double, y double")
+    ldf = spark.createDataFrame(lpts, "row_id long, x double, y double")
+
+    lx = np.array([p[1] for p in lpts])[:, None]
+    ly = np.array([p[2] for p in lpts])[:, None]
+    rx = np.array([p[1] for p in rpts])[None, :]
+    ry = np.array([p[2] for p in rpts])[None, :]
+
+    def brute(metric):
+        if metric == "euclidean":
+            d = np.hypot(lx - rx, ly - ry)
+        else:
+            R = 6378137.0
+            h = (
+                np.sin(np.radians(ry - ly) / 2) ** 2
+                + np.cos(np.radians(ly)) * np.cos(np.radians(ry))
+                * np.sin(np.radians(rx - lx) / 2) ** 2
+            )
+            d = 2.0 * R * np.arcsin(np.sqrt(np.minimum(1.0, h)))
+        out = []
+        for i in range(d.shape[0]):
+            order = sorted(zip(d[i], range(d.shape[1])))[:3]
+            out.extend((lpts[i][0], rid, round(float(dd), 6)) for dd, rid in order)
+        return sorted(out)
+
+    for metric in ("euclidean", "haversine"):
+        got = sorted(
+            (r.left_id, r.right_id, round(r.dist, 6))
+            for r in knn_join(ldf, rdf, 3, metric=metric, max_rounds=1).collect()
+        )
+        assert got == brute(metric), metric
+
+
+def test_knn_join_two_phase_certified_max_two_rounds(spark):
+    """Round-5 rework, big-left path (forced by dropping the up-front
+    threshold): round 0 runs density radii, every survivor then gets a
+    CERTIFIED radius — kth-candidate distance when k candidates exist,
+    prefix-sum ring bound for voids — so round 1 certifies everyone.
+    max_rounds=2 pins that no third round can exist, on the adversarial
+    shapes: skewed density, disjoint supports (all-void round 0),
+    max_distance starvation, haversine incl. dateline wrap."""
+    import importlib
+
+    import numpy as np
+
+    K = importlib.import_module("geo_index_spark.operators.knn")
+
+    rng = np.random.default_rng(53)
+    blob = np.column_stack([rng.uniform(0, 1, 300), rng.uniform(0, 1, 300)])
+    spread = np.column_stack([rng.uniform(0, 900, 50), rng.uniform(0, 900, 50)])
+    rpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(np.vstack([blob, spread]))]
+    lpts = rpts[::4] + [(999, 450.0, 450.0), (998, 899.0, 2.0)]
+    rdf = spark.createDataFrame(rpts, "row_id long, x double, y double")
+    ldf = spark.createDataFrame(lpts, "row_id long, x double, y double")
+
+    def brute_euc(lrows, rrows, k, max_d=None):
+        out = []
+        for lid, lx, ly in lrows:
+            ds = sorted((round(float(np.hypot(rx - lx, ry - ly)), 6), rid) for rid, rx, ry in rrows)
+            if max_d is not None:
+                ds = [(d, rid) for d, rid in ds if d <= max_d]
+            out.extend((lid, rid, d) for d, rid in ds[:k])
+        return sorted(out)
+
+    old = K.CERT_UPFRONT_MAX_LEFTS
+    K.CERT_UPFRONT_MAX_LEFTS = 0  # force the two-phase (big-left) path
+    try:
+        got = sorted(
+            (r.left_id, r.right_id, round(r.dist, 6))
+            for r in K.knn_join(ldf, rdf, 3, max_rounds=2).collect()
+        )
+        assert got == brute_euc(lpts, rpts, 3)
+        # max_distance starvation: survivors with < k in-range candidates
+        got_md = sorted(
+            (r.left_id, r.right_id, round(r.dist, 6))
+            for r in K.knn_join(ldf, rdf, 3, max_rounds=2, max_distance=6.0).collect()
+        )
+        assert got_md == brute_euc(lpts, rpts, 3, max_d=6.0)
+        # disjoint supports: EVERY left fails round 0 with zero candidates
+        far_l = spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(
+                np.column_stack([rng.uniform(0, 4, 25), rng.uniform(0, 4, 25)])
+            )],
+            "row_id long, x double, y double",
+        )
+        far_r = spark.createDataFrame(rpts[300:], "row_id long, x double, y double")
+        got_far = sorted(
+            (r.left_id, r.right_id, round(r.dist, 6))
+            for r in K.knn_join(far_l, far_r, 4, max_rounds=2).collect()
+        )
+        assert got_far == brute_euc(
+            [(r.row_id, r.x, r.y) for r in far_l.collect()], rpts[300:], 4
+        )
+        # haversine incl. dateline wrap: same two-round guarantee
+        lon = np.concatenate([rng.uniform(178.5, 180.0, 40), rng.uniform(-180.0, -178.5, 40)])
+        lat = rng.uniform(50.0, 60.0, 80)
+        gpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(np.column_stack([lon, lat]))]
+        gdf = spark.createDataFrame(gpts, "row_id long, x double, y double")
+        R = 6378137.0
+
+        def hav(lon1, lat1, lon2, lat2):
+            h = (np.sin(np.radians(lat2 - lat1) / 2) ** 2
+                 + np.cos(np.radians(lat1)) * np.cos(np.radians(lat2))
+                 * np.sin(np.radians(lon2 - lon1) / 2) ** 2)
+            return 2.0 * R * np.arcsin(np.sqrt(min(1.0, h)))
+
+        got_h = sorted(
+            (r.left_id, r.right_id, round(r.dist, 6))
+            for r in K.knn_join(gdf, gdf, 3, metric="haversine", max_rounds=2).collect()
+        )
+        brute_h = []
+        for i, lx_, ly_ in gpts:
+            ds = sorted((float(hav(lx_, ly_, rx_, ry_)), j) for j, rx_, ry_ in gpts)
+            brute_h.extend((i, j, round(d, 6)) for d, j in ds[:3])
+        assert got_h == sorted(brute_h)
+        assert any((gpts[a][1] > 0) != (gpts[b][1] > 0) for a, b, _ in got_h)
+    finally:
+        K.CERT_UPFRONT_MAX_LEFTS = old
+
+
 def test_knn_join_empty_sides(spark):
     """Empty right -> zero rows for every left; empty left -> zero rows.
     Schema stays (left_id, right_id, dist)."""

@@ -204,6 +204,33 @@ def test_simhash64_pairs_banding_complete(spark, docs_real):
     assert banded == brute
 
 
+def test_simhash_wide_h60_matches_python_bruteforce(spark, docs):
+    """The round-5 driver instantiation (n_bits=60, cross-engine H60
+    hash) vs an independent pure-Python simhash: same token split,
+    md5-prefix hash, majority vote — fingerprints must agree exactly,
+    and the 64-bit production wrapper must route through the same
+    machinery (simhash64 == simhash_wide(64))."""
+    import hashlib
+    import re
+
+    from geo_index_spark.textops.hashes import h60_col
+
+    got = {r.id: r.simhash for r in D.simhash_wide(docs, n_bits=60, hash_col=h60_col).collect()}
+    rows = docs.select("doc_id", "text").collect()
+    for r in rows:
+        toks = [t for t in dict.fromkeys(re.split("[^a-z0-9]+", r.text.lower())) if t]
+        votes = [0] * 60
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for k in range(60):
+                votes[k] += 1 if (h >> k) & 1 else -1
+        want = sum((1 << k) for k in range(60) if votes[k] > 0)
+        assert got[r.doc_id] == want, r.doc_id
+    w64 = {r.id: r.simhash for r in D.simhash_wide(docs, n_bits=64).collect()}
+    p64 = {r.id: r.simhash for r in D.simhash64(docs).collect()}
+    assert w64 == p64
+
+
 def test_ivf_full_probe_equals_bruteforce(spark):
     """With nprobe == n_centroids every cell is probed, so IVF must
     return exactly the brute-force top-k."""

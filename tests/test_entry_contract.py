@@ -91,17 +91,20 @@ def test_query_matches_oracle(spark, con, name):
 
 
 def test_ivf_kmeans_literal_oracle(spark, con):
-    """EXACT oracle for the rows-only driver slot ``ivf_kmeans_ann_emb``:
-    the trained centroids are data-dependent, so the static driver
-    registry can't carry this SQL (its strings must hold at every sf) —
-    but pytest knows SF_DIR, so it trains the same quantizer the query
-    uses, inlines the centroids as literals into the same assignment/
-    probe/top-k SQL body as ivf_ann_emb, and pins full parity."""
+    """EXACT literal-replay oracle for the PRODUCTION float k-means
+    trainer (``kmeans_centroids``: xxhash64 sample, un-quantized numpy
+    Lloyd's). Since round 6 the DRIVER slot ``ivf_kmeans_ann_emb`` uses
+    the SQL-mirrorable ``kmeans_centroids_exact`` and is hash-checked
+    by the static ``ivf_kmeans_topk_sql`` oracle (swept above via
+    ALL_ORACLES); this test keeps the production trainer pinned too —
+    its centroids are data-dependent, so pytest inlines them as
+    literals into the same assignment/probe/top-k SQL body per sf
+    dir."""
     from geo_index_spark.textops import ann as A
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     cents = A.kmeans_centroids(emb, n_centroids=16, iters=5, sample_n=256)
-    sdf = E.queries()["ivf_kmeans_ann_emb"](spark, SF_DIR)
+    sdf = A.ivf_cosine_topk(emb, E.ANN_QUERY, E.ANN_K, centroids=cents, nprobe=4)
     srows = sdf.collect()
     scols = sdf.columns
     osql = A.ivf_cosine_topk_sql_literal(cents, E.ANN_QUERY, E.ANN_K, nprobe=4)

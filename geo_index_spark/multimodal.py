@@ -163,7 +163,13 @@ def ensure_media_parquet(path: str, n: int = 50, seed: int = 11) -> str:
     generated rows: if the seed, FAKE header layout, or body generator
     ever changes, the digest changes and a stale cache file is simply
     ignored rather than silently feeding both engines outdated bytes
-    (ADVICE r3). Callers must use the returned path, not ``path``."""
+    (ADVICE r3). Callers must use the returned path, not ``path``.
+
+    Digest-recipe history (ADVICE r5): round 5 switched to the
+    length-delimited, id-inclusive recipe below, so files written with
+    the round-≤4 concat recipe carry a different suffix and are
+    orphaned on disk (never read again — regenerated, not corrupted);
+    delete ``{base}.*{ext}`` siblings to reclaim the space."""
     import hashlib
     import os
 

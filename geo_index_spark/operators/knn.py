@@ -726,8 +726,12 @@ def knn_join(
             .localCheckpoint()
         )
         C_df = C
-        n_left = lpts.count()
-        if n_left <= CERT_UPFRONT_MAX_LEFTS:
+        # bounded probe instead of a full lpts.count() (ADVICE r5): a
+        # LIMIT of threshold+1 rows decides the branch, and when the
+        # left IS small the probe already holds every row — reuse it
+        # and skip the second collect entirely.
+        probe_pdf = lpts.limit(CERT_UPFRONT_MAX_LEFTS + 1).toPandas()
+        if len(probe_pdf) <= CERT_UPFRONT_MAX_LEFTS:
             # small left side: certified-complete ring radii for ALL
             # lefts up front (one bounded collect + vectorized numpy)
             # — round 0 certifies everything, the loop runs ONCE, and
@@ -736,7 +740,7 @@ def knn_join(
             from pyspark.sql.types import DoubleType, StructField, StructType
 
             P0 = _prefix()
-            pdf = lpts.toPandas()
+            pdf = probe_pdf
             rb0 = _ring_certified_radii(
                 P0,
                 nc_d,

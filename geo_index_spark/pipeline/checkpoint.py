@@ -20,6 +20,7 @@ granularity) keeps the contract stable under repartitioning/AQE.
 from __future__ import annotations
 
 import json
+import warnings
 import time
 import uuid
 from dataclasses import dataclass
@@ -71,6 +72,20 @@ class CheckpointedPipeline:
             .distinct()
             .collect()
         )
+        # ignoreCorruptFiles would also silently drop a COMMITTED entry
+        # whose file corrupted AFTER the fact (idempotent rerun, so safe
+        # — but persistent storage corruption must be observable, ADVICE
+        # r5): surface the readable-vs-on-disk delta instead of hiding it
+        n_disk = len(list(d.glob("*.parquet")))
+        n_readable = df.select(F.input_file_name()).distinct().count()
+        if n_readable < n_disk:
+            warnings.warn(
+                f"checkpoint lineage {d}: {n_disk - n_readable} of {n_disk} "
+                "parquet files unreadable (skipped for resume; affected "
+                "buckets rerun idempotently). Repeated corruption here "
+                "means the storage layer needs attention.",
+                stacklevel=2,
+            )
         return {r.bucket for r in rows}
 
     def _log(self, stage: str, bucket: int, status: str, rows: int, t0: float, attempt: int):

@@ -909,11 +909,15 @@ def ivf_cosine_topk_sql_literal(
     ordering, same cosine fold, so parity is exact GIVEN the centroid
     list. The centroids are data-dependent, so this replay is only
     valid against the sf-dir they were trained on — the pytest sweep
-    builds it per-dir; the static driver registry cannot (its oracle
-    strings must hold at every sf), which is why the kmeans driver
-    slot is rows-only."""
+    builds it per-dir; the static driver registry instead carries the
+    sf-agnostic :func:`ivf_kmeans_topk_sql` over the quantized
+    trainer."""
     q = [float(x) for x in query_vec]
     qn = float(np.sqrt(sum(x * x for x in q)))
+    if qn == 0.0:
+        # a zero query would make every score 0/0 — both mirrors would
+        # diverge on NULL/NaN handling; fail loudly instead (ADVICE r5)
+        raise ValueError("ivf_cosine_topk_sql_literal: query_vec has zero norm")
     qlit = "[" + ", ".join(repr(x) for x in q) + "]::DOUBLE[]"
     rows = ", ".join(
         "(" + str(int(cid)) + ", ["

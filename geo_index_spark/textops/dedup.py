@@ -453,7 +453,7 @@ def simhash_wide_pairs(
     band untouched); refined by ``bit_count(xor)``."""
     n_bits, n_bands = int(n_bits), int(n_bands)
     if n_bits % n_bands:
-        raise ValueError("n_bits must divide evenly into n_bands")
+        raise ValueError("n_bands must divide n_bits evenly")
     if int(max_hamming) >= n_bands:
         raise ValueError("banding is only pigeonhole-complete for max_hamming < n_bands")
     width = n_bits // n_bands
@@ -511,7 +511,7 @@ def simhash_wide_pairs_sql(
 
     n_bits, n_bands = int(n_bits), int(n_bands)
     if n_bits % n_bands:
-        raise ValueError("n_bits must divide evenly into n_bands")
+        raise ValueError("n_bands must divide n_bits evenly")
     width = n_bits // n_bands
     mask = (1 << width) - 1
     sums = ", ".join(f"sum(((h >> {k}) & 1) * 2 - 1) AS s{k}" for k in range(n_bits))

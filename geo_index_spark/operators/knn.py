@@ -975,24 +975,43 @@ def knn_join(
             # then read ~the straggler neighborhoods instead of
             # streaming |right| x |levels| exploded rows. Safe because
             # certification only needs completeness INSIDE each box,
-            # and the coarse cellset covers every box. (Haversine keeps
-            # the full scan: its degree windows wrap, and tails are the
-            # same small fraction of runtime.)
+            # and the coarse cellset covers every box. Haversine builds
+            # its cellset from the wrapped geo_query_window degree
+            # segments — the SAME min-cos identity haversine_box_expand
+            # uses for the candidate boxes, so the cellset covers every
+            # box the candidate join will emit, dateline wrap included
+            # (VERDICT r5 Next #4; euclidean-only before round 6).
             rpts_src = rpts
-            if metric == "euclidean" and n_rem <= 5_000:
+            if n_rem <= 5_000:
+                from geo_index_spark.operators.search import geo_query_window
+
                 tail = remaining.select("px", "py", "r").collect()
                 cells: set[int] = set()
                 for t in tail:
-                    x0 = max(0, min(nc_d - 1, int((t[0] - t[2] - bounds[0]) / cell_d)))
-                    x1 = max(0, min(nc_d - 1, int((t[0] + t[2] - bounds[0]) / cell_d)))
-                    y0 = max(0, min(nc_d - 1, int((t[1] - t[2] - bounds[1]) / cell_d)))
-                    y1 = max(0, min(nc_d - 1, int((t[1] + t[2] - bounds[1]) / cell_d)))
-                    for cx_ in range(x0, x1 + 1):
-                        for cy_ in range(y0, y1 + 1):
-                            cells.add(cx_ * nc_d + cy_)
+                    if metric == "euclidean":
+                        boxes = [(t[0] - t[2], t[1] - t[2], t[0] + t[2], t[1] + t[2])]
+                    else:
+                        dlat, segs = geo_query_window(t[0], t[1], t[2])
+                        boxes = [(lo, t[1] - dlat, hi, t[1] + dlat) for lo, hi in segs]
+                    for mnx, mny, mxx, mxy in boxes:
+                        x0 = max(0, min(nc_d - 1, int((mnx - bounds[0]) / cell_d)))
+                        x1 = max(0, min(nc_d - 1, int((mxx - bounds[0]) / cell_d)))
+                        y0 = max(0, min(nc_d - 1, int((mny - bounds[1]) / cell_d)))
+                        y1 = max(0, min(nc_d - 1, int((mxy - bounds[1]) / cell_d)))
+                        for cx_ in range(x0, x1 + 1):
+                            for cy_ in range(y0, y1 + 1):
+                                cells.add(cx_ * nc_d + cy_)
                     if len(cells) > 60_000:
                         break
                 if len(cells) <= 60_000:
+                    if debug:
+                        print(
+                            f"[knn_join] round {round_idx} tail prefilter: "
+                            f"{len(tail)} lefts -> {len(cells)}/{nc_d * nc_d} "
+                            "coarse cells",
+                            file=sys.stderr,
+                            flush=True,
+                        )
                     ccell = (
                         _coarse_cell(F.col("qx"), bounds[0]) * F.lit(nc_d)
                         + _coarse_cell(F.col("qy"), bounds[1])

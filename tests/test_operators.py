@@ -917,6 +917,73 @@ def test_knn_join_tail_certified_single_round(spark):
     assert got_tiny == brute_tiny
 
 
+def test_knn_join_haversine_tail_prefilter_dateline(spark, monkeypatch, capfd):
+    """Haversine straggler-tail rounds now push the coarse-cell isin()
+    prefilter into the cached right scan, with the cellset built from
+    the WRAPPED geo_query_window degree segments (VERDICT r5 Next #4 —
+    euclidean-only before round 6). init_radius=1 m forces every left
+    to fail round 0, so round 1 is a genuine tail round on certified
+    radii; the fixture straddles +-180, so a clamped (unwrapped)
+    cellset would drop the across-the-line neighbors and break
+    exactness. GEO_KNN_DEBUG must show the prefilter engaging with a
+    neighborhood-sized cellset (well under the full grid)."""
+    import re
+
+    import numpy as np
+    from geo_index_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(9)
+    lon = np.concatenate(
+        [
+            rng.uniform(179.0, 180.0, 80),  # west of the line
+            rng.uniform(-180.0, -179.0, 80),  # east of it
+            rng.uniform(-30.0, 30.0, 40),  # far-away mass (prefilter must skip)
+        ]
+    )
+    lat = np.concatenate([rng.uniform(48.0, 52.0, 160), rng.uniform(-10.0, 10.0, 40)])
+    rpts = [(j, float(x), float(y)) for j, (x, y) in enumerate(zip(lon, lat))]
+    rdf = spark.createDataFrame(rpts, "row_id long, x double, y double")
+    lpts = [
+        (i, float(x), float(y))
+        for i, (x, y) in enumerate(
+            zip(rng.uniform(179.7, 180.0, 12), rng.uniform(49.0, 51.0, 12))
+        )
+    ]
+    ldf = spark.createDataFrame(lpts, "row_id long, x double, y double")
+
+    monkeypatch.setenv("GEO_KNN_DEBUG", "1")
+    got = sorted(
+        (r.left_id, r.right_id, round(r.dist, 6))
+        for r in knn_join(
+            ldf, rdf, 4, metric="haversine", init_radius=1.0
+        ).collect()
+    )
+    err = capfd.readouterr().err
+    hits = re.findall(r"tail prefilter: \d+ lefts -> (\d+)/(\d+) coarse cells", err)
+    assert hits, f"haversine tail prefilter never engaged:\n{err}"
+    # the certified-radius tail round must read a neighborhood, not the grid
+    assert any(int(c) < int(total) for c, total in hits)
+
+    R = 6378137.0
+
+    def hav(lx_, ly_, rx_, ry_):
+        h = (
+            np.sin(np.radians(ry_ - ly_) / 2) ** 2
+            + np.cos(np.radians(ly_))
+            * np.cos(np.radians(ry_))
+            * np.sin(np.radians(rx_ - lx_) / 2) ** 2
+        )
+        return 2.0 * R * float(np.arcsin(np.sqrt(min(1.0, h))))
+
+    brute = []
+    for i, lx_, ly_ in lpts:
+        ds = sorted((hav(lx_, ly_, rx_, ry_), j) for j, rx_, ry_ in rpts)
+        brute.extend((i, j, round(d, 6)) for d, j in ds[:4])
+    assert got == sorted(brute)
+    # cross-dateline neighbors must actually appear in the result
+    assert any(rpts[j][1] < 0 for _, j, _ in got)
+
+
 def test_knn_join_certified_upfront_one_round_16m_shape(spark):
     """Round-5 rework: certified ring radii seed round 0 for EVERY left
     (not just the <= 5,000 tail), so a mid-size join in the 16M bench's

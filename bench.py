@@ -89,7 +89,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name, fn):
+    def timed(name, fn, warm=False):
+        if warm:
+            # sub-second queries are dominated by first-call planning /
+            # codegen noise (r5 driver run read cosine_topk 0.78 s vs a
+            # clean 0.31 s) — one untimed warm rep pins the measurement
+            # to steady-state execution (VERDICT r5 Next #5)
+            fn()
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 4)
@@ -105,13 +111,13 @@ def main() -> None:
     )
 
     # 2. bbox search
-    timed("bbox_search", lambda: kd_range(ev, 100, 20, 200, 80).count())
+    timed("bbox_search", lambda: kd_range(ev, 100, 20, 200, 80).count(), warm=True)
 
     # 3. radius search
-    timed("within", lambda: within(ev, 250.0, 75.0, 40.0).count())
+    timed("within", lambda: within(ev, 250.0, 75.0, 40.0).count(), warm=True)
 
     # 4. kNN
-    timed("knn", lambda: knn(ev, 123.45, 67.0, 100, id_col="event_id").collect())
+    timed("knn", lambda: knn(ev, 123.45, 67.0, 100, id_col="event_id").collect(), warm=True)
 
     # 5. spatial self-join (headline) — skewless grid, AQE on
     boxes = _events_boxes(spark)
@@ -147,6 +153,7 @@ def main() -> None:
         )
         .count()
         .count(),
+        warm=True,
     )
 
     # 8. dedup: minhash-LSH near-dup pairs over documents — the
@@ -229,7 +236,7 @@ def main() -> None:
     import numpy as np
 
     q = [round(float(v), 4) for v in np.random.default_rng(0).standard_normal(64)]
-    timed("cosine_topk", lambda: A.cosine_topk(emb, q, 25).collect())
+    timed("cosine_topk", lambda: A.cosine_topk(emb, q, 25).collect(), warm=True)
 
     # 10. bucketed embedding near-dup pairs at a row count where the
     # all-pairs twin is infeasible (100k vectors -> 5e9 pairs): Arrow

@@ -12,15 +12,24 @@ weather window, bracketing every PAIR with multicore probes. A pair
 counts as clean only if pre < 1.5x and post < 2.0x. Alternation means
 any residual drift hits both builds symmetrically.
 
-Two order-fairness controls (added after the 08:26 UTC run produced a
-bogus 4.7x "regression"): (1) the leg that runs SECOND in a pair
-starts the instant the first leg's 40 GB-heap JVM finishes its job —
-post-job GC/cleanup wake from the idle JVM steals cores from the
-second leg (solo reps of the same build read 43 s where second-leg
-reps read a rock-stable ~135 s), so the parent now sleeps SETTLE_SEC
-between legs; and (2) the leg ORDER alternates every pair, so any
-residual co-residency penalty hits both builds equally. Per-order
-minima are reported so the order effect itself is visible.
+PROTOCOL v3 — SOLO BLOCK-ALTERNATING (the two co-resident-JVM designs
+both produced distorted r6 legs and are retired): with two 40 GB-heap
+local[32] sessions resident, the current code read a stable 117-340 s
+per rep — even running FIRST in a pair after a clean pre-probe (1.04)
+with a 15 s GC-settle — while the SAME build reads 42.8 s warm solo
+(GEO_KNN_DEBUG decomposition: round 0 = 15.6 s + round 1 = 21.2 s),
+matching the r5 clean bench 43.6 s. Mere co-residency distorts the
+certified-round build ~3x (its extra pandas_udf worker pool +
+checkpoint storage lose far more to a resident sibling JVM than the
+escalation build's plain shuffles do), so no same-instant pairing can
+be fair. v3 runs ONE JVM at a time: blocks alternate r4, r6, r4, r6
+...; each block starts a fresh session, synths + persists the
+identical deterministic 16M input, takes one uncounted warm rep, then
+collects probe-bracketed reps (pre < 1.5x, post < 2.0x) until it has
+BLOCK_CLEAN clean reps or BLOCK_BUDGET_MIN expires, then the JVM
+exits before the other build's block starts. Weather drift between
+blocks is absorbed by alternation + min-over-clean-reps per build
+across all blocks.
 
 Usage: python scripts/knn_ab_r4_r6.py [r4_path] [n_points] [n_clean_pairs] [budget_min]
 Default r4 worktree path: /tmp/r4code (git worktree add /tmp/r4code 1defefe).
@@ -47,7 +56,8 @@ BUDGET_MIN = float(sys.argv[4]) if len(sys.argv) > 4 else 45.0
 CPUS = 32
 LEFT_EVERY = 64
 KNN_K = 3
-SETTLE_SEC = 15.0  # let the first leg's JVM GC-quiesce before the second runs
+BLOCK_CLEAN = 2  # clean reps to collect per block before rotating
+BLOCK_BUDGET_MIN = 10.0  # per-block wall budget (excl. session setup + warm)
 
 CHILD = r"""
 import json, sys, time
@@ -97,94 +107,104 @@ def rep(p: subprocess.Popen) -> dict:
     return json.loads(line)
 
 
-def main() -> None:
-    p4 = start("r4", R4_PATH)
-    p6 = start("r6", str(REPO))
-    for p, tag in ((p4, "r4"), (p6, "r6")):
+def run_block(tag: str, pypath: str, reps: list[dict],
+              rows_ref: dict) -> None:
+    """One solo session: setup, warm, probe-bracketed reps, exit."""
+    p = start(tag, pypath)
+    try:
         msg = json.loads(p.stdout.readline())
         assert msg.get("ready"), msg
-        print(f"[ab] {tag} session ready", file=sys.stderr, flush=True)
-    # one warm rep each (codegen/AQE planning; never counted)
-    for p, tag in ((p4, "r4"), (p6, "r6")):
         w = rep(p)
-        print(f"[ab] {tag} warm: {w['sec']}s rows={w['rows']}",
+        print(f"[ab] {tag} block warm: {w['sec']}s rows={w['rows']}",
               file=sys.stderr, flush=True)
-
-    pairs: list[dict] = []
-    t_start = time.monotonic()
-    rows_ref = None
-    order_flip = False
-    while (sum(x["clean"] for x in pairs) < N_CLEAN
-           and time.monotonic() - t_start < BUDGET_MIN * 60):
-        pre = cpu_calibration_mt_sec() / CALIB_MT_REF_SEC
-        if pre >= 1.5:
-            print(f"[ab] dirty pre-probe {pre:.2f}, backing off",
+        if tag in rows_ref:
+            assert w["rows"] == rows_ref[tag]
+        rows_ref[tag] = w["rows"]
+        t0 = time.monotonic()
+        n_clean = 0
+        while (n_clean < BLOCK_CLEAN
+               and time.monotonic() - t0 < BLOCK_BUDGET_MIN * 60):
+            pre = cpu_calibration_mt_sec() / CALIB_MT_REF_SEC
+            if pre >= 1.5:
+                print(f"[ab] {tag} dirty pre-probe {pre:.2f}, backing off",
+                      file=sys.stderr, flush=True)
+                time.sleep(15)
+                continue
+            r = rep(p)
+            post = cpu_calibration_mt_sec() / CALIB_MT_REF_SEC
+            rec = {"tag": tag, "sec": r["sec"], "pre": round(pre, 3),
+                   "post": round(post, 3),
+                   "clean": pre < 1.5 and post < 2.0}
+            reps.append(rec)
+            n_clean += rec["clean"]
+            print(f"[ab] {tag} rep {r['sec']}s pre={pre:.2f} "
+                  f"post={post:.2f} clean={rec['clean']}",
                   file=sys.stderr, flush=True)
-            time.sleep(20)
-            continue
-        first, second = ((p6, p4) if order_flip else (p4, p6))
-        order = "r6-first" if order_flip else "r4-first"
-        order_flip = not order_flip
-        x = rep(first)
-        time.sleep(SETTLE_SEC)
-        y = rep(second)
-        a, b = ((y, x) if order == "r6-first" else (x, y))
-        post = cpu_calibration_mt_sec() / CALIB_MT_REF_SEC
-        if rows_ref is None:
-            rows_ref = (a["rows"], b["rows"])
-        assert (a["rows"], b["rows"]) == rows_ref
-        rec = {"r4_sec": a["sec"], "r6_sec": b["sec"], "order": order,
-               "pre": round(pre, 3), "post": round(post, 3),
-               "clean": pre < 1.5 and post < 2.0}
-        pairs.append(rec)
-        print(f"[ab] pair r4={a['sec']}s r6={b['sec']}s ({order}) "
-              f"pre={pre:.2f} post={post:.2f} clean={rec['clean']}",
-              file=sys.stderr, flush=True)
-    for p in (p4, p6):
+    finally:
         try:
             p.stdin.write("quit\n")
             p.stdin.flush()
         except Exception:
             pass
-    clean = [x for x in pairs if x["clean"]]
+        p.wait(timeout=120)
 
-    def _min(key, order=None):
-        xs = [x[key] for x in clean if order is None or x["order"] == order]
-        return min(xs, default=None)
+
+def main() -> None:
+    reps: list[dict] = []
+    rows_ref: dict = {}
+    t_start = time.monotonic()
+    tags = {"r4": R4_PATH, "r6": str(REPO)}
+    i = 0
+
+    def n_clean(tag):
+        return sum(1 for x in reps if x["tag"] == tag and x["clean"])
+
+    while (min(n_clean("r4"), n_clean("r6")) < N_CLEAN
+           and time.monotonic() - t_start < BUDGET_MIN * 60):
+        tag = ("r4", "r6")[i % 2]
+        i += 1
+        if n_clean(tag) >= N_CLEAN:
+            continue
+        print(f"[ab] === block {i}: {tag} (solo) ===",
+              file=sys.stderr, flush=True)
+        run_block(tag, tags[tag], reps, rows_ref)
+    clean = [x for x in reps if x["clean"]]
+
+    def _min(tag):
+        return min((x["sec"] for x in clean if x["tag"] == tag),
+                   default=None)
 
     out = {
         "n_right": N_POINTS, "n_left": N_POINTS // LEFT_EVERY, "k": KNN_K,
-        "cpus": CPUS, "r4_rows": rows_ref[0] if rows_ref else None,
-        "r6_rows": rows_ref[1] if rows_ref else None,
-        "r4_clean_min": _min("r4_sec"), "r6_clean_min": _min("r6_sec"),
-        "r4_clean_min_first": _min("r4_sec", "r4-first"),
-        "r6_clean_min_first": _min("r6_sec", "r6-first"),
-        "n_clean_pairs": len(clean), "pairs": pairs,
+        "cpus": CPUS, "r4_rows": rows_ref.get("r4"),
+        "r6_rows": rows_ref.get("r6"),
+        "r4_clean_min": _min("r4"), "r6_clean_min": _min("r6"),
+        "n_clean_r4": n_clean("r4"), "n_clean_r6": n_clean("r6"),
+        "reps": reps,
     }
     print(json.dumps(out), flush=True)
-    if clean:
+    if out["r4_clean_min"] and out["r6_clean_min"]:
         md = REPO / "BENCH" / "BASELINE.md"
         stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
         ratio = out["r6_clean_min"] / out["r4_clean_min"]
         md.open("a").write(f"""
 
-## knn_join r4-vs-r6 same-window A/B {stamp} ({N_POINTS:,} right / {N_POINTS // LEFT_EVERY:,} left k={KNN_K}, local[{CPUS}], alternating probe-bracketed pairs)
+## knn_join r4-vs-r6 solo block-alternating A/B {stamp} ({N_POINTS:,} right / {N_POINTS // LEFT_EVERY:,} left k={KNN_K}, local[{CPUS}])
 
-| build | clean-min sec | clean-min when first in pair | note |
+| build | clean-min sec | clean reps | note |
 |---|---|---|---|
-| round-4 code (1defefe) | {out['r4_clean_min']} | {out['r4_clean_min_first']} | x4/x8 escalation rounds |
-| current code | {out['r6_clean_min']} | {out['r6_clean_min_first']} | certified <= 2 rounds |
+| round-4 code (1defefe) | {out['r4_clean_min']} | {out['n_clean_r4']} | x4/x8 escalation rounds |
+| current code | {out['r6_clean_min']} | {out['n_clean_r6']} | certified <= 2 rounds |
 
-r6/r4 wall-clock ratio **{ratio:.3f}** over {len(clean)} clean pair(s);
+r6/r4 wall-clock ratio **{ratio:.3f}** (min over clean reps per build);
 output rows r4={out['r4_rows']:,} r6={out['r6_rows']:,} (both exact).
-Pairs: {json.dumps(pairs)}
-Both builds alternate single reps inside one weather window (pair-level
-pre < 1.5x / post < 2.0x probes, {SETTLE_SEC:.0f} s GC-settle between
-legs, leg order alternating per pair), same persisted 16M synth input,
-same session conf — the r4 35.4 s (mt 5.84) vs r5 43.6-46.5 s (clean)
-question from VERDICT r5 is settled by this table, not by cross-window
-numbers. The "when first in pair" column isolates any residual
-co-resident-JVM penalty on the second leg.
+Reps: {json.dumps(reps)}
+Protocol v3: ONE JVM at a time (co-resident sessions distort the
+certified build ~3x — see the invalidation notes above), blocks
+alternate builds, each block = fresh session + identical deterministic
+synth input + uncounted warm rep + probe-bracketed reps (pre < 1.5x,
+post < 2.0x). This settles the r4 35.4 s (mt 5.84) vs r5 43.6-46.5 s
+(clean) question from VERDICT r5.
 """)
         print(f"appended to {md}")
 

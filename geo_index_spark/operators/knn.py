@@ -709,6 +709,11 @@ def knn_join(
         return _P_cache[0]
 
     dense_r = None
+    # True whenever every row of `remaining` carries a CERTIFIED-complete
+    # radius (kth-NN <= r guaranteed): the up-front small-left seeding,
+    # and every post-transition round. Density-guess round 0 (and a
+    # user-supplied init_radius round 0) are False.
+    certified_radii = False
     if init_radius is not None:
         r0 = F.lit(min(max(float(init_radius), r_floor), cover_r))
         remaining = lpts.select("lid", "px", "py", r0.alias("r"))
@@ -759,6 +764,7 @@ def knn_join(
                     list(lpts.schema.fields) + [StructField("r", DoubleType(), False)]
                 ),
             )
+            certified_radii = True
         else:
             mx = C.agg(F.max("cnt")).first()[0] or 1
             dense_r = cell_d * math.sqrt(float(k) / max(float(mx), 1.0)) * unit
@@ -982,6 +988,7 @@ def knn_join(
             # box the candidate join will emit, dateline wrap included
             # (VERDICT r5 Next #4; euclidean-only before round 6).
             rpts_src = rpts
+            t_sub = _time.perf_counter()
             if n_rem <= 5_000:
                 from geo_index_spark.operators.search import geo_query_window
 
@@ -1055,13 +1062,37 @@ def knn_join(
             scored = cand
             if max_distance is not None:
                 scored = scored.filter(F.col("dist") <= F.lit(float(max_distance)))
+            if certified_radii:
+                # a certified radius GUARANTEES kth-NN <= r, so candidates
+                # beyond r can never reach the true top-k and the
+                # certification test is unchanged (completeness within the
+                # box implies >= k candidates at dist <= r, so c == k still
+                # fires). Full-cover lefts are exempt: their true kth-NN
+                # may exceed r = cover_r (e.g. the domain diagonal), and
+                # their box already holds everything. Measured at the 16M
+                # bench shape: the 256-left certified tail swept 51.8M
+                # candidate pairs (ring radii reach into dense clusters);
+                # this filter cuts the window input ~4x.
+                scored = scored.filter(
+                    (F.col("r") >= F.lit(cover_r)) | (F.col("dist") <= F.col("r"))
+                )
             if n_rem <= 5_000:
-                # tail rounds: a 16-task hash exchange on left_id satisfies
+                # tail rounds: a narrow hash exchange on left_id satisfies
                 # the window's ClusteredDistribution, replacing the default
-                # spark.sql.shuffle.partitions-wide exchange — tail-round
-                # stages are task-launch-floor-bound, not data-bound (the
-                # bench conf disables AQE coalesce for the big joins)
-                scored = scored.repartition(16, "left_id")
+                # spark.sql.shuffle.partitions-wide exchange. Floor of 16
+                # for the launch-floor-bound tiny-candidate case, but scale
+                # up to one partition per remaining left (capped at the
+                # session's shuffle width): certified tail lefts can carry
+                # ~200k candidates EACH (measured 51.8M pairs for 256
+                # lefts), and sorting that in 16 tasks was the single
+                # largest fixed cost of the certified design (18.1 s of the
+                # 43 s bench rep).
+                n_shuf = int(
+                    rpts.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                )
+                scored = scored.repartition(
+                    min(max(16, int(n_rem)), n_shuf), "left_id"
+                )
             # one window shuffle does top-k AND certification: rn for
             # the top-k cut, then count/kth-dist over the same
             # partitioning (no extra exchange), certify row-local
@@ -1074,7 +1105,23 @@ def knn_join(
             certified = (
                 (F.col("c") == F.lit(int(k))) & (F.col("dk") <= F.col("r"))
             ) | (F.col("r") >= F.lit(cover_r))
+            if debug:
+                print(
+                    f"[knn_join]   round {round_idx} prep: "
+                    f"{_time.perf_counter() - t_sub:.1f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                t_sub = _time.perf_counter()
             top = top.localCheckpoint()  # the round's ONE heavy job
+            if debug:
+                print(
+                    f"[knn_join]   round {round_idx} top job: "
+                    f"{_time.perf_counter() - t_sub:.1f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                t_sub = _time.perf_counter()
             parts.append(top.filter(certified).select("left_id", "right_id", "dist"))
             done = top.filter(certified).select("left_id")
             # full-cover lefts certify even with < k (or zero) candidates
@@ -1091,8 +1138,18 @@ def knn_join(
                 .groupBy("left_id")
                 .agg(F.max("dk").alias("_dk"))
             )
-            if rb_udf is None:
-                rb_udf = _ring_rb_udf()
+            if certified_radii:
+                # a certified round cannot leave survivors — this
+                # transition plan only runs as the round-end emptiness
+                # verification. Skip the ring-bound pandas_udf stage
+                # (broadcast + Arrow worker spin-up for zero rows): if a
+                # float-edge survivor ever did appear, cover_r certifies
+                # it unconditionally next round.
+                ring_fallback = F.lit(float(cover_r))
+            else:
+                if rb_udf is None:
+                    rb_udf = _ring_rb_udf()
+                ring_fallback = rb_udf(F.col("px"), F.col("py"))
             remaining = (
                 remaining.filter(F.col("r") < F.lit(cover_r))
                 .join(done, F.col("lid") == F.col("left_id"), "left_anti")
@@ -1103,7 +1160,7 @@ def knn_join(
                         F.greatest(
                             F.coalesce(
                                 F.col("_dk") * F.lit(1.0 + 1e-9),
-                                rb_udf(F.col("px"), F.col("py")),
+                                ring_fallback,
                             ),
                             F.lit(r_floor),
                         ),
@@ -1115,9 +1172,16 @@ def knn_join(
                 # — transition + round-end count share ONE barrier
                 .localCheckpoint(eager=False)
             )
+            certified_radii = True  # every transition radius is certified
             buckets = _bucket_stats()
             n_rem = sum(c for _, c, _ in buckets)
             if debug:
+                print(
+                    f"[knn_join]   round {round_idx} transition: "
+                    f"{_time.perf_counter() - t_sub:.1f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
                 print(
                     f"[knn_join] round {round_idx}: {_time.perf_counter() - t_round:.1f}s"
                     f" -> n_rem={n_rem}",

@@ -244,6 +244,121 @@ def knn_geometry(
 
 CERT_UPFRONT_MAX_LEFTS = 65_536
 
+# fragment count for the tail-round salted two-stage top-k: each giant
+# left group is sorted as this many parallel fragments (stage A), then
+# the <= TAIL_SALT * k survivors per left merge in stage B. 64 keeps
+# every fragment sort comfortably sub-second at ~10^6-candidate lefts
+# while the stage-B input stays small (lefts * 64 * k rows max).
+TAIL_SALT = 64
+
+# levels to shift tail-round buckets FINER than the cell >= box
+# quantization (clamped at level 16): box/cell lands in (4, 16], i.e.
+# ~36-324 exploded cells per left — tightly covering the box so dense
+# cells are no longer swept whole. Post-refinement tail radii are small
+# enough that the per-bucket 2M exploded-row estimate cap (which
+# demotes a bucket to a partitioned join) keeps the broadcast bounded
+# even at the 65,536-left tail ceiling.
+TAIL_LVL_EXTRA = 4
+
+# tail ring-refinement fine grid: 2^TAIL_RING_EXTRA x finer cells than
+# the coarse density grid, counted ONLY over the tail neighborhoods
+# (the coarse-cellset semi join), so the near-singleton-group hazard of
+# a global fine grid never applies. Collect cap bounds driver memory.
+TAIL_RING_EXTRA = 4
+TAIL_RING_MAX_CELLS = 2_000_000
+
+# a round is a TAIL round (driver-side cellset prefilter + fine-grid
+# ring refinement + finer bucket levels + salted two-stage top-k) when
+# this few lefts remain — matches the upfront-seeding bound, so the
+# small-left one-round path always gets its coarse ring radii refined.
+TAIL_MAX_LEFTS = CERT_UPFRONT_MAX_LEFTS
+
+
+def _sparse_ring_refine(
+    fx,
+    fy,
+    fcnt,
+    nc_f: int,
+    cell_f: float,
+    bounds: tuple[float, float, float, float],
+    px,
+    py,
+    r_old,
+    k: int,
+    metric: str,
+    r_floor: float,
+):
+    """Sparse-grid twin of :func:`_ring_certified_radii` for tail
+    survivors: per-left smallest Chebyshev ring j of FINE cells whose
+    box holds >= k counted rights, bounded by the box's farthest-corner
+    distance, returned as ``min(r_old, bound)`` — never looser than the
+    already-certified ``r_old``. The counts (fx, fy, fcnt) need only
+    cover each left's r_old box (the tail cellset region): missing
+    cells UNDERCOUNT, which inflates j and the bound, never breaks it
+    (the box still holds >= k real rights). Coarse-grid ring bounds are
+    the certified-radius overshoot hazard in person — a 0.7-degree cell
+    ring around a void next to a 0.2-degree city cluster certifies at
+    ~1 degree and its ball swallows the whole cluster (measured 137k
+    in-ball candidates per tail left, a 69M-pair window sort at the 32M
+    probe); 16x finer cells certify at ~the true kth-NN scale."""
+    import numpy as np
+
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    r_old = np.asarray(r_old, np.float64)
+    n = len(px)
+    out = r_old.copy()
+    if n == 0 or len(fx) == 0:
+        return out
+    lox, loy = bounds[0], bounds[1]
+    order = np.argsort(fx, kind="stable")
+    fx = np.asarray(fx, np.int64)[order]
+    fy = np.asarray(fy, np.int64)[order]
+    fcnt = np.asarray(fcnt, np.int64)[order]
+    cx = np.clip(((px - lox) / cell_f).astype(np.int64), 0, nc_f - 1)
+    cy = np.clip(((py - loy) / cell_f).astype(np.int64), 0, nc_f - 1)
+    # per-left Chebyshev search window: must contain ball(r_old), whose
+    # lat half-extent is r_old degrees (euclidean) or the meridian arc
+    # (haversine) — enough for termination: the window box covers the
+    # ball, which holds >= k (r_old is certified), so cum >= k fires
+    # unless clipping/wrap dropped cells, in which case keep r_old.
+    if metric == "haversine":
+        half_deg = np.degrees(r_old / EARTH_RADIUS_M)
+    else:
+        half_deg = r_old
+    jmax = np.ceil(half_deg / cell_f).astype(np.int64) + 1
+    for i in range(n):
+        lo_i = np.searchsorted(fx, cx[i] - jmax[i], side="left")
+        hi_i = np.searchsorted(fx, cx[i] + jmax[i], side="right")
+        if hi_i <= lo_i:
+            continue
+        sel_fy = fy[lo_i:hi_i]
+        m = np.abs(sel_fy - cy[i]) <= jmax[i]
+        if not m.any():
+            continue
+        d = np.maximum(
+            np.abs(fx[lo_i:hi_i][m] - cx[i]), np.abs(sel_fy[m] - cy[i])
+        )
+        c = fcnt[lo_i:hi_i][m]
+        if c.sum() < k:
+            continue
+        ds = np.argsort(d, kind="stable")
+        cum = np.cumsum(c[ds])
+        j = int(d[ds][np.searchsorted(cum, k)])
+        x0 = max(0, int(cx[i]) - j)
+        x1 = min(nc_f - 1, int(cx[i]) + j)
+        y0 = max(0, int(cy[i]) - j)
+        y1 = min(nc_f - 1, int(cy[i]) + j)
+        dx = max(px[i] - (lox + x0 * cell_f), (lox + (x1 + 1) * cell_f) - px[i])
+        dy = max(py[i] - (loy + y0 * cell_f), (loy + (y1 + 1) * cell_f) - py[i])
+        if metric == "haversine":
+            rb = EARTH_RADIUS_M * (np.radians(dy) + np.radians(dx))
+        else:
+            rb = float(np.sqrt(dx * dx + dy * dy))
+        rb *= 1.0 + 1e-9
+        out[i] = min(out[i], max(rb, r_floor))
+    return out
+
 
 def _ring_certified_radii(
     P,
@@ -395,7 +510,14 @@ def _knn_point_candidates(
             + _cell_coord(F.col("qy"), loy, inv_wy, nc)
         ).alias("cell"),
     )
-    j = le.join(re, "cell", "inner")
+    # SHUFFLE_HASH on the exploded-lefts side: the partitioned-bucket
+    # join's build side is the exploded lefts (a sample-sized subset of
+    # the workload; ~9 cells/left), orders of magnitude smaller than the
+    # right table per partition — a sort-merge join would SORT all of
+    # right by cell, the single most expensive part of the round-0 job
+    # (measured ~1/3 of the 32M top job). The hint is per-join, so no
+    # session-wide preferSortMergeJoin change leaks to other operators.
+    j = le.hint("SHUFFLE_HASH").join(re, "cell", "inner")
     if residual is not None:
         j = j.filter(residual)
     if metric == "haversine":
@@ -535,16 +657,15 @@ def knn_join(
     survivor's next radius is CERTIFIED-COMPLETE up front, so round 1
     certifies everyone by construction —
 
-    * a survivor that already saw >= k candidates takes its kth
-      candidate distance ``dk`` — a true kth-NN upper bound regardless
-      of box completeness (candidates are real rights at real
-      distances), and tight;
-    * a survivor with < k candidates (deep voids, max_distance-starved
-      lefts) takes the ring-count bound of
+    * every survivor takes the ring-count bound of
       :func:`_ring_certified_radii` — the smallest coarse cell ring
-      holding >= k rights, a few-candidate radius precisely because the
-      region is sparse — evaluated as a vectorized pandas_udf over the
-      broadcast (nc_d+1)^2 prefix sum, no driver collect of lefts;
+      holding >= k rights, a true kth-NN upper bound — evaluated as a
+      vectorized pandas_udf over the broadcast (nc_d+1)^2 prefix sum,
+      no driver collect of lefts. (A ``dist <= r`` prefilter runs
+      before every round's window — candidates beyond r cannot beat a
+      certified kth and only bloat the sort — so a survivor provably
+      saw < k candidates and the round-5 kth-candidate-``dk``
+      transition branch is vacuous; round 6 removed it.)
     * a left whose r reaches the cover radius certifies
       unconditionally.
 
@@ -599,10 +720,16 @@ def knn_join(
     radius (pi*R -> dlat = dlon = 180) genuinely covers the domain.
     Out-of-range latitudes raise (row-level check in the expansion)."""
     import math
+    import os
+    import sys
+    import time as _time
 
     from pyspark.sql import Window
 
     from geo_index_spark.operators.join import choose_grid_level
+
+    debug = bool(os.environ.get("GEO_KNN_DEBUG"))
+    t_init = _time.perf_counter()
 
     if metric not in ("euclidean", "haversine"):
         raise ValueError(f"metric must be euclidean|haversine, got {metric!r}")
@@ -881,12 +1008,6 @@ def knn_join(
     # so init costs ONE barrier (checkpoint+stats fused), not two
     remaining = remaining.localCheckpoint(eager=False)
 
-    import os
-    import sys
-    import time as _time
-
-    debug = bool(os.environ.get("GEO_KNN_DEBUG"))
-
     # PER-LEFT grid level, every round: one level cannot serve mixed
     # radii (tiny boxes in a coarse cell cross-product the whole cell's
     # cluster; big boxes at a fine level explode to thousands of
@@ -919,7 +1040,8 @@ def knn_join(
     n_rem = sum(c for _, c, _ in buckets)
     if debug:
         print(
-            f"[knn_join] n_right={n_right} gd={gd} cell_d={cell_d:.6g} "
+            f"[knn_join] init: {_time.perf_counter() - t_init:.1f}s "
+            f"n_right={n_right} gd={gd} cell_d={cell_d:.6g} "
             f"dense_r={dense_r} n_rem={n_rem}",
             file=sys.stderr,
             flush=True,
@@ -989,41 +1111,161 @@ def knn_join(
             # (VERDICT r5 Next #4; euclidean-only before round 6).
             rpts_src = rpts
             t_sub = _time.perf_counter()
-            if n_rem <= 5_000:
+            if n_rem <= TAIL_MAX_LEFTS:
                 from geo_index_spark.operators.search import geo_query_window
 
-                tail = remaining.select("px", "py", "r").collect()
-                cells: set[int] = set()
-                for t in tail:
-                    if metric == "euclidean":
-                        boxes = [(t[0] - t[2], t[1] - t[2], t[0] + t[2], t[1] + t[2])]
-                    else:
-                        dlat, segs = geo_query_window(t[0], t[1], t[2])
-                        boxes = [(lo, t[1] - dlat, hi, t[1] + dlat) for lo, hi in segs]
-                    for mnx, mny, mxx, mxy in boxes:
-                        x0 = max(0, min(nc_d - 1, int((mnx - bounds[0]) / cell_d)))
-                        x1 = max(0, min(nc_d - 1, int((mxx - bounds[0]) / cell_d)))
-                        y0 = max(0, min(nc_d - 1, int((mny - bounds[1]) / cell_d)))
-                        y1 = max(0, min(nc_d - 1, int((mxy - bounds[1]) / cell_d)))
-                        for cx_ in range(x0, x1 + 1):
-                            for cy_ in range(y0, y1 + 1):
-                                cells.add(cx_ * nc_d + cy_)
-                    if len(cells) > 60_000:
-                        break
-                if len(cells) <= 60_000:
-                    if debug:
-                        print(
-                            f"[knn_join] round {round_idx} tail prefilter: "
-                            f"{len(tail)} lefts -> {len(cells)}/{nc_d * nc_d} "
-                            "coarse cells",
-                            file=sys.stderr,
-                            flush=True,
-                        )
+                def _tail_cellset(rows) -> set[int] | None:
+                    # coarse cells touched by the (px, py, r) boxes, or
+                    # None when the set is too big to ship as a filter
+                    cs: set[int] = set()
+                    for t in rows:
+                        if metric == "euclidean":
+                            boxes = [
+                                (t[0] - t[2], t[1] - t[2], t[0] + t[2], t[1] + t[2])
+                            ]
+                        else:
+                            dlat, segs = geo_query_window(t[0], t[1], t[2])
+                            boxes = [
+                                (lo, t[1] - dlat, hi, t[1] + dlat) for lo, hi in segs
+                            ]
+                        for mnx, mny, mxx, mxy in boxes:
+                            x0 = max(0, min(nc_d - 1, int((mnx - bounds[0]) / cell_d)))
+                            x1 = max(0, min(nc_d - 1, int((mxx - bounds[0]) / cell_d)))
+                            y0 = max(0, min(nc_d - 1, int((mny - bounds[1]) / cell_d)))
+                            y1 = max(0, min(nc_d - 1, int((mxy - bounds[1]) / cell_d)))
+                            for cx_ in range(x0, x1 + 1):
+                                for cy_ in range(y0, y1 + 1):
+                                    cs.add(cx_ * nc_d + cy_)
+                        if len(cs) > 60_000:
+                            return None
+                    return cs
+
+                def _tail_semi(cs: set[int]) -> DataFrame:
+                    # broadcast SEMI JOIN, not isin(): a >1k-element InSet
+                    # probes a boxed scala HashSet per row — measured ~10 s
+                    # of the tail round's 12 s scan over 32M cached rights.
+                    # BroadcastHashJoin probes a native long-keyed relation
+                    # inside whole-stage codegen instead.
                     ccell = (
                         _coarse_cell(F.col("qx"), bounds[0]) * F.lit(nc_d)
                         + _coarse_cell(F.col("qy"), bounds[1])
                     )
-                    rpts_src = rpts.filter(ccell.isin([int(c) for c in cells]))
+                    cells_df = rpts.sparkSession.createDataFrame(
+                        [(int(c),) for c in sorted(cs)], "ccell long"
+                    )
+                    return rpts.join(
+                        F.broadcast(cells_df), ccell == F.col("ccell"), "left_semi"
+                    )
+
+                tail_pdf = remaining.select("lid", "px", "py", "r").toPandas()
+                tail_rows = list(zip(tail_pdf["px"], tail_pdf["py"], tail_pdf["r"]))
+                cells = _tail_cellset(tail_rows)
+                if cells is not None:
+                    # FINE-GRID RING REFINEMENT: re-certify every tail
+                    # radius on a 2^TAIL_RING_EXTRA x finer grid counted
+                    # over just this region (one groupBy job on the
+                    # semi-filtered rights; occupied-cell output is tiny
+                    # because the region is). min(r_old, fine bound)
+                    # stays certified; the payoff is quadratic — see
+                    # _sparse_ring_refine.
+                    nc_f2 = nc_d << TAIL_RING_EXTRA
+                    cell_f2 = cell_d / (1 << TAIL_RING_EXTRA)
+
+                    def _fine2(c, lo):
+                        return F.least(
+                            F.lit(nc_f2 - 1),
+                            F.greatest(
+                                F.lit(0), F.floor((c - F.lit(lo)) / F.lit(cell_f2))
+                            ),
+                        ).cast("long")
+
+                    cnts_pdf = (
+                        _tail_semi(cells)
+                        .groupBy(
+                            _fine2(F.col("qx"), bounds[0]).alias("fx"),
+                            _fine2(F.col("qy"), bounds[1]).alias("fy"),
+                        )
+                        .agg(F.count(F.lit(1)).alias("fcnt"))
+                        .limit(TAIL_RING_MAX_CELLS + 1)
+                        .toPandas()
+                    )
+                    if len(cnts_pdf) <= TAIL_RING_MAX_CELLS:
+                        r_new = _sparse_ring_refine(
+                            cnts_pdf["fx"].to_numpy(),
+                            cnts_pdf["fy"].to_numpy(),
+                            cnts_pdf["fcnt"].to_numpy(),
+                            nc_f2,
+                            cell_f2,
+                            bounds,
+                            tail_pdf["px"].to_numpy(),
+                            tail_pdf["py"].to_numpy(),
+                            tail_pdf["r"].to_numpy(),
+                            k,
+                            metric,
+                            r_floor,
+                        )
+                        if (r_new < tail_pdf["r"].to_numpy()).any():
+                            from pyspark.sql.types import (
+                                DoubleType,
+                                StructField,
+                                StructType,
+                            )
+
+                            if debug:
+                                print(
+                                    f"[knn_join] round {round_idx} ring refine: "
+                                    f"max r {tail_pdf['r'].max():.4g} -> "
+                                    f"{r_new.max():.4g} over {len(cnts_pdf)} "
+                                    "fine cells",
+                                    file=sys.stderr,
+                                    flush=True,
+                                )
+                            tail_pdf = tail_pdf.assign(r=r_new)
+                            remaining = rpts.sparkSession.createDataFrame(
+                                tail_pdf,
+                                schema=StructType(
+                                    list(lpts.schema.fields)
+                                    + [StructField("r", DoubleType(), False)]
+                                ),
+                            )
+                            buckets = _bucket_stats()
+                            tail_rows = list(
+                                zip(tail_pdf["px"], tail_pdf["py"], tail_pdf["r"])
+                            )
+                            cells = _tail_cellset(tail_rows) or cells
+                if cells is not None:
+                    if debug:
+                        print(
+                            f"[knn_join] round {round_idx} tail prefilter: "
+                            f"{len(tail_rows)} lefts -> {len(cells)}/"
+                            f"{nc_d * nc_d} coarse cells",
+                            file=sys.stderr,
+                            flush=True,
+                        )
+                    rpts_src = _tail_semi(cells)
+            # tail rounds: shift every bucket TAIL_LVL_EXTRA levels FINER
+            # (clamped at 16). The cell >= box quantization rule protects
+            # the big rounds' explode counts, but it makes a tail left
+            # cross-product whole coarse cells: a ~1-degree ring-bound
+            # radius lands at level 6 (5.6-degree cells), so each void
+            # left sweeps entire dense-city cells — measured ~260 CPU-s
+            # of pure pair emission for 77k final candidates at the 32M
+            # probe (ALL tasks CPU-bound, zero skew). At <= 5000 lefts,
+            # exploding each box into ~100-300 fine cells is a trivial
+            # broadcast (<= ~1.6M rows) and the emitted pairs collapse to
+            # ~the box contents. Correctness is level-independent:
+            # touched cells cover the box at ANY resolution, which is all
+            # certification needs.
+            lvl_eff = lvl_col
+            buckets_eff = buckets
+            if n_rem <= TAIL_MAX_LEFTS:
+                lvl_eff = F.least(F.lit(16), lvl_col + F.lit(TAIL_LVL_EXTRA))
+                merged: dict[int, tuple[int, float]] = {}
+                for lvl, cnt, rmx in buckets:
+                    l2 = min(16, int(lvl) + TAIL_LVL_EXTRA)
+                    c0, r0_ = merged.get(l2, (0, 0.0))
+                    merged[l2] = (c0 + cnt, max(r0_, float(rmx)))
+                buckets_eff = sorted((l, c, r_) for l, (c, r_) in merged.items())
             # split buckets: broadcast-eligible ones share ONE multilevel
             # join (a single pass over right keyed on (level, cell));
             # oversized buckets each get a partitioned join. The
@@ -1032,7 +1274,7 @@ def knn_join(
             # level-4 clamp (near-cover radii), where the factor grows.
             small: list[tuple[int, float]] = []  # (lvl, est. exploded rows)
             big_lvls: list[int] = []
-            for lvl, cnt, rmx in buckets:
+            for lvl, cnt, rmx in buckets_eff:
                 cell_u = ext_u / (1 << int(lvl))
                 explode_factor = (2.0 * float(rmx) / cell_u + 2.0) ** 2
                 if cnt <= bcast_lefts and cnt * explode_factor <= 2_000_000:
@@ -1051,47 +1293,64 @@ def knn_join(
             small_lvls = [lvl for lvl, _ in small]
             cand = None
             if small_lvls:
-                sub = remaining.filter(lvl_col.isin([int(l) for l in small_lvls]))
+                sub = remaining.filter(lvl_eff.isin([int(l) for l in small_lvls]))
                 cand = _knn_point_candidates_multi(
-                    sub, rpts_src, bounds, small_lvls, metric, lvl_col
+                    sub, rpts_src, bounds, small_lvls, metric, lvl_eff
                 )
             for lvl in big_lvls:
-                sub = remaining.filter(lvl_col == F.lit(int(lvl)))
+                sub = remaining.filter(lvl_eff == F.lit(int(lvl)))
                 c = _knn_point_candidates(sub, rpts_src, bounds, int(lvl), metric)
                 cand = c if cand is None else cand.unionAll(c)
             scored = cand
             if max_distance is not None:
                 scored = scored.filter(F.col("dist") <= F.lit(float(max_distance)))
-            if certified_radii:
-                # a certified radius GUARANTEES kth-NN <= r, so candidates
-                # beyond r can never reach the true top-k and the
-                # certification test is unchanged (completeness within the
-                # box implies >= k candidates at dist <= r, so c == k still
-                # fires). Full-cover lefts are exempt: their true kth-NN
-                # may exceed r = cover_r (e.g. the domain diagonal), and
-                # their box already holds everything. Measured at the 16M
-                # bench shape: the 256-left certified tail swept 51.8M
-                # candidate pairs (ring radii reach into dense clusters);
-                # this filter cuts the window input ~4x.
-                scored = scored.filter(
-                    (F.col("r") >= F.lit(cover_r)) | (F.col("dist") <= F.col("r"))
+            # dist <= r prefilter, EVERY round (round 6: was certified
+            # rounds only). Certified radii guarantee kth-NN <= r, so the
+            # true top-k all survive and c == k still fires. For DENSITY-
+            # GUESS rounds the filter is also safe: a left that certifies
+            # has dk <= r (its top-k all survive, c == k unchanged); a
+            # left that doesn't gets its next radius from the transition
+            # either way — the only change is that c==k-but-dk>r lefts
+            # now read c < k and take the ring bound instead of dk (both
+            # are valid certified radii; the handful of such lefts —
+            # n_rem-sized — is absorbed by the tail round's own prefilter
+            # and salted two-stage window). Payoff measured at 32M: the
+            # round-0 window input drops from 163M candidate rows (~326
+            # per left — box cells hold ~10x the ball) to ~the in-ball
+            # counts, cutting the round-0 window sort from ~8 s to ~2 s.
+            # Full-cover lefts are exempt: their true kth-NN may exceed
+            # r = cover_r (e.g. the domain diagonal), and their box
+            # already holds everything.
+            scored = scored.filter(
+                (F.col("r") >= F.lit(cover_r)) | (F.col("dist") <= F.col("r"))
+            )
+            if n_rem <= TAIL_MAX_LEFTS:
+                # tail rounds: SALTED TWO-STAGE top-k. A tail left's ball
+                # can genuinely hold ~10^5-10^6 rights (ring-bound radii
+                # reach into dense cells), and one-exchange-per-left still
+                # sorts each left's candidates in ONE task — measured as a
+                # ~18-20 s serial straggler at BOTH local[8] and local[32]
+                # (the dominant fixed cost of the 32M whole-op scaling
+                # probe). Stage A windows over (left_id, salt) — a
+                # deterministic hash of right_id — so every giant group is
+                # sorted as TAIL_SALT parallel fragments of which only the
+                # per-fragment top-k survive; stage B re-windows the
+                # <= n_rem * TAIL_SALT * k survivors. Correctness: the
+                # global top-k is a subset of the fragment top-ks, and the
+                # certification count is unchanged — stage B's c =
+                # min(k, survivors) and survivors >= k iff the true
+                # candidate count >= k (sum of min(k, c_i) >= k whenever
+                # sum(c_i) >= k); dk = kth of the true top-k either way.
+                w_frag = Window.partitionBy("left_id", "_salt").orderBy(
+                    F.col("dist").asc(), F.col("right_id").asc()
                 )
-            if n_rem <= 5_000:
-                # tail rounds: a narrow hash exchange on left_id satisfies
-                # the window's ClusteredDistribution, replacing the default
-                # spark.sql.shuffle.partitions-wide exchange. Floor of 16
-                # for the launch-floor-bound tiny-candidate case, but scale
-                # up to one partition per remaining left (capped at the
-                # session's shuffle width): certified tail lefts can carry
-                # ~200k candidates EACH (measured 51.8M pairs for 256
-                # lefts), and sorting that in 16 tasks was the single
-                # largest fixed cost of the certified design (18.1 s of the
-                # 43 s bench rep).
-                n_shuf = int(
-                    rpts.sparkSession.conf.get("spark.sql.shuffle.partitions")
-                )
-                scored = scored.repartition(
-                    min(max(16, int(n_rem)), n_shuf), "left_id"
+                scored = (
+                    scored.withColumn(
+                        "_salt", F.pmod(F.xxhash64("right_id"), F.lit(TAIL_SALT))
+                    )
+                    .withColumn("_frn", F.row_number().over(w_frag))
+                    .filter(F.col("_frn") <= F.lit(int(k)))
+                    .drop("_salt", "_frn")
                 )
             # one window shuffle does top-k AND certification: rn for
             # the top-k cut, then count/kth-dist over the same
@@ -1113,6 +1372,18 @@ def knn_join(
                     flush=True,
                 )
                 t_sub = _time.perf_counter()
+                if os.environ.get("GEO_KNN_DEBUG") == "2":
+                    # level-2 diagnostic: materialize the candidate set to
+                    # split "join+filter" from "window" time (re-runs the
+                    # join, so level-2 debug reps are NOT bench numbers)
+                    n_cand = scored.count()
+                    print(
+                        f"[knn_join]   round {round_idx} candidates: {n_cand} "
+                        f"(count job {_time.perf_counter() - t_sub:.1f}s)",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                    t_sub = _time.perf_counter()
             top = top.localCheckpoint()  # the round's ONE heavy job
             if debug:
                 print(
@@ -1128,16 +1399,13 @@ def knn_join(
             # — the r < cover filter drops them whether or not they
             # produced rows; everyone else leaves via the anti join.
             # Survivors get CERTIFIED radii, so the next round is the
-            # last: kth-candidate distance dk where k candidates exist
-            # (a true kth-NN upper bound — candidates are real rights
-            # at real distances — and a tight one), the prefix-sum ring
-            # bound for the rest (voids / max_distance-starved lefts).
+            # last: the prefix-sum ring bound — the smallest coarse-cell
+            # ring holding >= k rights (a true kth-NN upper bound). The
+            # dist <= r prefilter above makes c == k imply dk <= r, so
+            # an uncertified survivor ALWAYS has c < k and the old
+            # kth-candidate (dk) transition branch is provably empty —
+            # dropped in round 6 (one groupBy + join per round saved).
             # No doubling, no straggler rounds: <= 2 rounds total.
-            fail_k = (
-                top.filter(~certified & (F.col("c") == F.lit(int(k))))
-                .groupBy("left_id")
-                .agg(F.max("dk").alias("_dk"))
-            )
             if certified_radii:
                 # a certified round cannot leave survivors — this
                 # transition plan only runs as the round-end emptiness
@@ -1153,17 +1421,10 @@ def knn_join(
             remaining = (
                 remaining.filter(F.col("r") < F.lit(cover_r))
                 .join(done, F.col("lid") == F.col("left_id"), "left_anti")
-                .join(fail_k, F.col("lid") == F.col("left_id"), "left")
                 .withColumn(
                     "r",
                     F.least(
-                        F.greatest(
-                            F.coalesce(
-                                F.col("_dk") * F.lit(1.0 + 1e-9),
-                                ring_fallback,
-                            ),
-                            F.lit(r_floor),
-                        ),
+                        F.greatest(ring_fallback, F.lit(r_floor)),
                         F.lit(cover_r),
                     ),
                 )

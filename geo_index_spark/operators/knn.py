@@ -267,6 +267,10 @@ TAIL_LVL_EXTRA = 4
 TAIL_RING_EXTRA = 4
 TAIL_RING_MAX_CELLS = 2_000_000
 
+# biggest per-left in-box candidate group a single window task sorts
+# comfortably; above it the tail top-k goes salted two-stage
+TAIL_SALT_MIN_GROUP = 65_536
+
 # a round is a TAIL round (driver-side cellset prefilter + fine-grid
 # ring refinement + finer bucket levels + salted two-stage top-k) when
 # this few lefts remain — matches the upfront-seeding bound, so the
@@ -300,7 +304,14 @@ def _sparse_ring_refine(
     ring around a void next to a 0.2-degree city cluster certifies at
     ~1 degree and its ball swallows the whole cluster (measured 137k
     in-ball candidates per tail left, a 69M-pair window sort at the 32M
-    probe); 16x finer cells certify at ~the true kth-NN scale."""
+    probe); 16x finer cells certify at ~the true kth-NN scale.
+
+    Returns ``(radii, boxcnt)`` where ``boxcnt[i]`` is an EXACT count
+    of counted rights inside left i's final-radius box (the region
+    covers every r_old box and the final box is a subset, so nothing
+    is missed) — or ``2**62`` where refinement could not fire. The
+    caller uses ``boxcnt.max()`` to decide whether any tail group is
+    big enough to need the salted two-stage top-k."""
     import numpy as np
 
     px = np.asarray(px, np.float64)
@@ -308,8 +319,9 @@ def _sparse_ring_refine(
     r_old = np.asarray(r_old, np.float64)
     n = len(px)
     out = r_old.copy()
+    boxcnt = np.full(n, 2**62, np.int64)
     if n == 0 or len(fx) == 0:
-        return out
+        return out, boxcnt
     lox, loy = bounds[0], bounds[1]
     order = np.argsort(fx, kind="stable")
     fx = np.asarray(fx, np.int64)[order]
@@ -357,7 +369,16 @@ def _sparse_ring_refine(
             rb = float(np.sqrt(dx * dx + dy * dy))
         rb *= 1.0 + 1e-9
         out[i] = min(out[i], max(rb, r_floor))
-    return out
+        if metric == "haversine":
+            # lon half-extent exceeds the meridian arc by 1/cos(lat);
+            # overcounting only biases the caller toward salting (safe)
+            hd = np.degrees(out[i] / EARTH_RADIUS_M)
+            hd = hd / max(np.cos(np.radians(py[i])), 1e-6)
+        else:
+            hd = out[i]
+        jb = int(np.ceil(hd / cell_f)) + 1
+        boxcnt[i] = int(c[d <= jb].sum())
+    return out, boxcnt
 
 
 def _ring_certified_radii(
@@ -1110,6 +1131,11 @@ def knn_join(
             # box the candidate join will emit, dateline wrap included
             # (VERDICT r5 Next #4; euclidean-only before round 6).
             rpts_src = rpts
+            tail_region = None
+            # salting defaults ON for tail rounds; the fine-grid counts
+            # switch it off when no left's final box can hold a giant
+            # candidate group (stage A is then two wasted shuffles)
+            tail_salt_needed = True
             t_sub = _time.perf_counter()
             if n_rem <= TAIL_MAX_LEFTS:
                 from geo_index_spark.operators.search import geo_query_window
@@ -1140,7 +1166,7 @@ def knn_join(
                             return None
                     return cs
 
-                def _tail_semi(cs: set[int]) -> DataFrame:
+                def _tail_semi(cs: set[int], src: DataFrame) -> DataFrame:
                     # broadcast SEMI JOIN, not isin(): a >1k-element InSet
                     # probes a boxed scala HashSet per row — measured ~10 s
                     # of the tail round's 12 s scan over 32M cached rights.
@@ -1150,10 +1176,10 @@ def knn_join(
                         _coarse_cell(F.col("qx"), bounds[0]) * F.lit(nc_d)
                         + _coarse_cell(F.col("qy"), bounds[1])
                     )
-                    cells_df = rpts.sparkSession.createDataFrame(
+                    cells_df = src.sparkSession.createDataFrame(
                         [(int(c),) for c in sorted(cs)], "ccell long"
                     )
-                    return rpts.join(
+                    return src.join(
                         F.broadcast(cells_df), ccell == F.col("ccell"), "left_semi"
                     )
 
@@ -1161,6 +1187,14 @@ def knn_join(
                 tail_rows = list(zip(tail_pdf["px"], tail_pdf["py"], tail_pdf["r"]))
                 cells = _tail_cellset(tail_rows)
                 if cells is not None:
+                    # persist the neighborhood ONCE: the fine-count job
+                    # below and the candidate join both need the semi-
+                    # filtered rights, and each would otherwise re-scan
+                    # the full |right| cache (a host-floor-bound full
+                    # pass; at 100 TB, a full re-read). The region is
+                    # box-cover-sized — cheap to cache, dropped after
+                    # the round's top job materializes.
+                    tail_region = _tail_semi(cells, rpts).persist()
                     # FINE-GRID RING REFINEMENT: re-certify every tail
                     # radius on a 2^TAIL_RING_EXTRA x finer grid counted
                     # over just this region (one groupBy job on the
@@ -1180,8 +1214,7 @@ def knn_join(
                         ).cast("long")
 
                     cnts_pdf = (
-                        _tail_semi(cells)
-                        .groupBy(
+                        tail_region.groupBy(
                             _fine2(F.col("qx"), bounds[0]).alias("fx"),
                             _fine2(F.col("qy"), bounds[1]).alias("fy"),
                         )
@@ -1190,7 +1223,7 @@ def knn_join(
                         .toPandas()
                     )
                     if len(cnts_pdf) <= TAIL_RING_MAX_CELLS:
-                        r_new = _sparse_ring_refine(
+                        r_new, tail_boxcnt = _sparse_ring_refine(
                             cnts_pdf["fx"].to_numpy(),
                             cnts_pdf["fy"].to_numpy(),
                             cnts_pdf["fcnt"].to_numpy(),
@@ -1204,6 +1237,20 @@ def knn_join(
                             metric,
                             r_floor,
                         )
+                        # exact in-box counts: when even the biggest
+                        # final box holds a modest group, the plain
+                        # one-exchange window beats stage A's two extra
+                        # shuffles (each a flat job-launch cost)
+                        tail_salt_needed = bool(
+                            tail_boxcnt.max() > TAIL_SALT_MIN_GROUP
+                        )
+                        if debug and not tail_salt_needed:
+                            print(
+                                f"[knn_join] round {round_idx} salt skipped: "
+                                f"max in-box group {int(tail_boxcnt.max())}",
+                                file=sys.stderr,
+                                flush=True,
+                            )
                         if (r_new < tail_pdf["r"].to_numpy()).any():
                             from pyspark.sql.types import (
                                 DoubleType,
@@ -1242,7 +1289,10 @@ def knn_join(
                             file=sys.stderr,
                             flush=True,
                         )
-                    rpts_src = _tail_semi(cells)
+                    # post-refinement boxes shrink, so the new cellset is
+                    # a subset of the persisted region's — re-filter the
+                    # CACHE, never re-scan the full right table
+                    rpts_src = _tail_semi(cells, tail_region)
             # tail rounds: shift every bucket TAIL_LVL_EXTRA levels FINER
             # (clamped at 16). The cell >= box quantization rule protects
             # the big rounds' explode counts, but it makes a tail left
@@ -1324,7 +1374,7 @@ def knn_join(
             scored = scored.filter(
                 (F.col("r") >= F.lit(cover_r)) | (F.col("dist") <= F.col("r"))
             )
-            if n_rem <= TAIL_MAX_LEFTS:
+            if n_rem <= TAIL_MAX_LEFTS and tail_salt_needed:
                 # tail rounds: SALTED TWO-STAGE top-k. A tail left's ball
                 # can genuinely hold ~10^5-10^6 rights (ring-bound radii
                 # reach into dense cells), and one-exchange-per-left still
@@ -1385,6 +1435,8 @@ def knn_join(
                     )
                     t_sub = _time.perf_counter()
             top = top.localCheckpoint()  # the round's ONE heavy job
+            if tail_region is not None:
+                tail_region.unpersist(blocking=False)
             if debug:
                 print(
                     f"[knn_join]   round {round_idx} top job: "

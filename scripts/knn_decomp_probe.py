@@ -36,16 +36,17 @@ N_PTS = int(sys.argv[2]) if len(sys.argv) > 2 else 32_000_000
 KNN_K = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 LEFT_EVERY = int(sys.argv[4]) if len(sys.argv) > 4 else 64
 
-conf = {
-    k_: v
-    for k_, v in BENCH_CONF.items()
-    if k_
-    not in (
+conf = dict(BENCH_CONF)
+if not os.environ.get("KNN_RAM_SHUFFLE"):
+    # default: production disk-shuffle conf (matches
+    # knn_clean_rep_bench.py); KNN_RAM_SHUFFLE=1 keeps BENCH_CONF's
+    # RAM dir to separate disk-IO-bound from CPU-bound stage scaling
+    for k_ in (
         "spark.local.dir",
         "spark.shuffle.compress",
         "spark.shuffle.spill.compress",
-    )
-}
+    ):
+        conf.pop(k_, None)
 conf["spark.ui.showConsoleProgress"] = "false"
 if os.environ.get("KNN_EVENTLOG"):
     conf["spark.eventLog.enabled"] = "true"

@@ -1139,3 +1139,78 @@ def test_knn_join_empty_sides(spark):
         out = knn_join(ldf, rdf, 3)
         assert [f.name for f in out.schema.fields] == ["left_id", "right_id", "dist"]
         assert out.count() == 0
+
+
+def test_sparse_ring_refine_kernel():
+    """Numpy unit contract for the tail fine-grid refinement (round 6):
+    the returned radius is (a) never looser than r_old, (b) a TRUE
+    kth-NN upper bound whenever the counted grid covers the r_old box,
+    and boxcnt is the exact number of counted points inside the final
+    radius box. Random clustered-plus-void layouts, both metrics."""
+    import numpy as np
+
+    from geo_index_spark.operators.knn import EARTH_RADIUS_M, _sparse_ring_refine
+
+    rng = np.random.default_rng(17)
+    bounds = (-10.0, -10.0, 10.0, 10.0)
+    nc_f, k = 64, 3
+    cell_f = (bounds[2] - bounds[0]) / nc_f
+    # clustered rights + sprinkle, inside bounds
+    pts = np.vstack(
+        [
+            rng.normal((3.0, 3.0), 0.3, (400, 2)),
+            rng.normal((-6.0, 5.0), 0.5, (200, 2)),
+            rng.uniform(-9.9, 9.9, (60, 2)),
+        ]
+    )
+    pts = pts[(np.abs(pts[:, 0]) < 10) & (np.abs(pts[:, 1]) < 10)]
+    fx = np.clip(((pts[:, 0] - bounds[0]) / cell_f).astype(np.int64), 0, nc_f - 1)
+    fy = np.clip(((pts[:, 1] - bounds[1]) / cell_f).astype(np.int64), 0, nc_f - 1)
+    key = fx * nc_f + fy
+    uk, cnt = np.unique(key, return_counts=True)
+    gfx, gfy, gcnt = uk // nc_f, uk % nc_f, cnt
+
+    for metric in ("euclidean", "haversine"):
+        # lefts: one inside each cluster, one void corner, one centre
+        px = np.array([3.0, -6.0, -9.0, 0.5])
+        py = np.array([3.0, 5.0, -9.0, 0.5])
+        if metric == "haversine":
+            # loose certified start: meridian arc of 8 degrees
+            r_old = np.full(4, EARTH_RADIUS_M * np.radians(8.0))
+        else:
+            r_old = np.full(4, 8.0)
+        out, boxcnt = _sparse_ring_refine(
+            gfx, gfy, gcnt, nc_f, cell_f, bounds, px, py, r_old, k, metric, 1e-9
+        )
+        assert (out <= r_old + 1e-12).all()
+        for i in range(4):
+            if metric == "haversine":
+                lat1, lon1 = np.radians(py[i]), np.radians(px[i])
+                lat2, lon2 = np.radians(pts[:, 1]), np.radians(pts[:, 0])
+                h = (
+                    np.sin((lat2 - lat1) / 2) ** 2
+                    + np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) / 2) ** 2
+                )
+                d = 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.minimum(1.0, h)))
+            else:
+                d = np.hypot(pts[:, 0] - px[i], pts[:, 1] - py[i])
+            kth = np.sort(d)[k - 1]
+            # (b): refined radius still covers the true kth-NN
+            assert out[i] >= kth - 1e-9, (metric, i, out[i], kth)
+            # (c): boxcnt is exact for the final box (counted grid covers
+            # the whole domain here). Recompute the box the kernel used.
+            if boxcnt[i] < 2**62:
+                if metric == "haversine":
+                    hd = np.degrees(out[i] / EARTH_RADIUS_M)
+                    hd = hd / max(np.cos(np.radians(py[i])), 1e-6)
+                else:
+                    hd = out[i]
+                jb = int(np.ceil(hd / cell_f)) + 1
+                cx = int(np.clip((px[i] - bounds[0]) / cell_f, 0, nc_f - 1))
+                cy = int(np.clip((py[i] - bounds[1]) / cell_f, 0, nc_f - 1))
+                cheb = np.maximum(np.abs(gfx - cx), np.abs(gfy - cy))
+                assert boxcnt[i] == int(gcnt[cheb <= jb].sum())
+        # at least the cluster lefts must have shrunk materially and
+        # produced finite box counts
+        assert (out[:2] < 0.8 * r_old[:2]).all()
+        assert (boxcnt[:2] < 2**62).all()

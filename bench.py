@@ -225,7 +225,9 @@ def main() -> None:
     knn_lefts = sp.filter(F.col("row_id") % 64 == 0)
     min_of(
         "knn_join_synth",
-        lambda: knn_join(knn_lefts, sp, 3, bounds=SYNTH_BOUNDS).count(),
+        lambda: knn_join(
+            knn_lefts, sp, 3, bounds=SYNTH_BOUNDS, right_count=N_SYNTH
+        ).count(),
     )
     extras["knn_join_right_rows_per_sec"] = round(
         N_SYNTH / timings["knn_join_synth"], 1

@@ -653,6 +653,7 @@ def knn_join(
     max_rounds: int = 16,
     metric: str = "euclidean",
     max_distance: float | None = None,
+    right_count: int | None = None,
 ) -> DataFrame:
     """EXACT distributed kNN join: for every left point, its ``k``
     nearest right points — (left_id, right_id, dist), per-left ascending
@@ -694,7 +695,10 @@ def knn_join(
     ring bounds are computed driver-side for ALL lefts up front
     (numpy-vectorized over one bounded collect) and seed round 0
     directly — the join then converges in ONE round with no density
-    estimate at all. Seeding certified radii up front is deliberately
+    estimate at all. Passing ``bounds`` AND ``right_count`` (both free
+    from table metadata at production scale) skips the up-front
+    min/max/count pass over right entirely; ``right_count`` is a grid-
+    sizing hint only — correctness never depends on its accuracy. Seeding certified radii up front is deliberately
     NOT done for large left tables: the ring bound's resolution is the
     coarse grid (~64 rights/cell), so in uniform regions it overshoots
     the density estimate by ~sqrt(cell^2 * 2 / (pi k / rho)) — measured
@@ -786,23 +790,38 @@ def knn_join(
             )
         )
 
-    ragg = rpts.agg(
-        F.min("qx"), F.min("qy"), F.max("qx"), F.max("qy"), F.count(F.lit(1))
-    ).first()
-    n_right = ragg[4]
-    if n_right == 0:
-        # k nearest of nothing is nothing — every left yields zero rows
-        return _empty_result()
-    if bounds is None:
-        lagg = lpts.agg(F.min("px"), F.min("py"), F.max("px"), F.max("py")).first()
-        if lagg[0] is None:  # empty left table
+    if bounds is not None and right_count is not None and right_count > 0:
+        # metadata fast path: when the caller knows the domain AND the
+        # right cardinality (at production scale both come free from
+        # table metadata), the min/max/count pass over right is skipped
+        # — the density-count groupBy below becomes the first full pass
+        # and materializes the cache while doing useful work. The value
+        # only SIZES the density grid (gd is a ~64-rows/cell heuristic);
+        # correctness never depends on it — an overstated count just
+        # picks a finer grid, an understated one a coarser grid, and an
+        # actually-empty right converges to zero rows through the
+        # normal cover-radius round.
+        n_right = int(right_count)
+    else:
+        ragg = rpts.agg(
+            F.min("qx"), F.min("qy"), F.max("qx"), F.max("qy"), F.count(F.lit(1))
+        ).first()
+        n_right = ragg[4]
+        if n_right == 0:
+            # k nearest of nothing is nothing — every left yields zero rows
             return _empty_result()
-        bounds = (
-            min(ragg[0], lagg[0]),
-            min(ragg[1], lagg[1]),
-            max(ragg[2], lagg[2]),
-            max(ragg[3], lagg[3]),
-        )
+        if bounds is None:
+            lagg = lpts.agg(
+                F.min("px"), F.min("py"), F.max("px"), F.max("py")
+            ).first()
+            if lagg[0] is None:  # empty left table
+                return _empty_result()
+            bounds = (
+                min(ragg[0], lagg[0]),
+                min(ragg[1], lagg[1]),
+                max(ragg[2], lagg[2]),
+                max(ragg[3], lagg[3]),
+            )
     bounds = tuple(float(b) for b in bounds)
     ext = max(bounds[2] - bounds[0], bounds[3] - bounds[1], 1e-12)
 

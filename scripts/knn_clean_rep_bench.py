@@ -62,7 +62,7 @@ left = right.filter(F.col("row_id") % left_every == 0).persist(); left.count()
 # warm rep: pays whole-stage codegen + AQE planning once so clean reps
 # measure steady state (weather-agnostic, never counted)
 t0 = time.perf_counter()
-rows = knn_join(left, right, k, bounds=SYNTH_BOUNDS).count()
+rows = knn_join(left, right, k, bounds=SYNTH_BOUNDS, right_count=n_pts).count()
 print(f"[leg {cpus}] warm rep: {time.perf_counter()-t0:.1f}s",
       file=sys.stderr, flush=True)
 
@@ -77,7 +77,7 @@ while (sum(r["clean"] for r in reps) < n_clean
         time.sleep(20)
         continue
     t0 = time.perf_counter()
-    n = knn_join(left, right, k, bounds=SYNTH_BOUNDS).count()
+    n = knn_join(left, right, k, bounds=SYNTH_BOUNDS, right_count=n_pts).count()
     t = time.perf_counter() - t0
     post = cpu_calibration_mt_sec() / CALIB_MT_REF_SEC
     assert n == rows

@@ -69,7 +69,7 @@ pre = cpu_calibration_mt_sec() / CALIB_MT_REF_SEC
 print(f"[decomp {CPUS}] pre-probe {pre:.2f}", file=sys.stderr, flush=True)
 
 t0 = time.perf_counter()
-n = knn_join(left, right, KNN_K, bounds=SYNTH_BOUNDS).count()
+n = knn_join(left, right, KNN_K, bounds=SYNTH_BOUNDS, right_count=N_PTS).count()
 print(
     f"[decomp {CPUS}] WARM rep: {time.perf_counter() - t0:.1f}s rows={n}",
     file=sys.stderr,
@@ -77,7 +77,7 @@ print(
 )
 
 t0 = time.perf_counter()
-n = knn_join(left, right, KNN_K, bounds=SYNTH_BOUNDS).count()
+n = knn_join(left, right, KNN_K, bounds=SYNTH_BOUNDS, right_count=N_PTS).count()
 dt = time.perf_counter() - t0
 post = cpu_calibration_mt_sec() / CALIB_MT_REF_SEC
 print(

@@ -1214,3 +1214,31 @@ def test_sparse_ring_refine_kernel():
         # produced finite box counts
         assert (out[:2] < 0.8 * r_old[:2]).all()
         assert (boxcnt[:2] < 2**62).all()
+
+
+def test_knn_join_right_count_hint(spark):
+    """bounds + right_count skip the up-front min/max/count pass; the
+    hint only sizes the density grid, so a deliberately 100x-wrong
+    value must still produce the exact result."""
+    import numpy as np
+
+    from geo_index_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(29)
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 100, (500, 2)))]
+    rdf = spark.createDataFrame(pts, "row_id long, x double, y double")
+    ldf = spark.createDataFrame(pts[::7], "row_id long, x double, y double")
+    brute = sorted(
+        (lid, rid)
+        for lid, lx_, ly_ in pts[::7]
+        for _, rid in sorted(
+            (float(np.hypot(rx_ - lx_, ry_ - ly_)), rid) for rid, rx_, ry_ in pts
+        )[:3]
+    )
+    b = (0.0, 0.0, 100.0, 100.0)
+    for hint in (500, 50_000):  # exact and 100x overstated
+        got = sorted(
+            (r.left_id, r.right_id)
+            for r in knn_join(ldf, rdf, 3, bounds=b, right_count=hint).collect()
+        )
+        assert got == brute, hint

@@ -222,9 +222,13 @@ def lsh_cosine_near_dup_pairs(
     recall 1.0 on clustered fixtures). DETERMINISTIC given ``seed``, so
     :func:`lsh_cosine_near_dup_pairs_sql` replays the identical
     candidate set + refine in DuckDB — exact parity."""
+    # (id, band, bucket) is tiny — checkpoint it so the self-join below
+    # reads a materialized table instead of re-running the
+    # n_bands*n_planes higher-order-function dot products per join side
     bands = (
         with_lsh_band_keys(emb, dim, n_bands, n_planes, seed, vec_col)
         .select(F.col(id_col).alias("id"), F.posexplode("bands").alias("band", "bucket"))
+        .localCheckpoint()
     )
     cand = (
         bands.alias("x")

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from geo_index_spark.textops.hashes import P, h32_col, h32_sql, hp_col, hp_sql, seeds
+from geo_index_spark.textops.hashes import P, h32_col, h32_sql, hp_sql, seeds
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -173,31 +173,50 @@ def minhash_near_dup_pairs(
     spark = docs.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # repartition BEFORE the shingle explode: a single-file doc table
-    # otherwise runs the whole md5 stage on one core
+    # otherwise runs the whole md5 stage on one core.
+    # ONE md5 per shingle: the MinHash base hash (first 8 hex chars) and
+    # the 60-bit refine key (first 15) are both prefixes of the SAME
+    # digest, so the digest is projected once in its own stage (staged
+    # alias — CollapseProject keeps non-cheap multi-referenced aliases
+    # un-inlined, the hilbert.py discipline) instead of hashing every
+    # shingle twice (round-6 plan: a second full md5 pass fed `keyed`).
+    # The cache also drops the shingle STRING — (id, h, k) is ~1/3 the
+    # bytes of (id, s, h) and no downstream consumer needs `s`.
     sh = (
         shingles(docs.repartition(par), id_col, text_col, n)
-        .withColumn("h", hp_col(F.col("s")))
+        .select("id", F.md5(F.col("s")).alias("_md"))
+        .select(
+            "id",
+            (F.conv(F.substring(F.col("_md"), 1, 8), 16, 10).cast("long") % F.lit(P)).alias("h"),
+            F.conv(F.substring(F.col("_md"), 1, 15), 16, 10).cast("long").alias("k"),
+        )
         .cache()
     )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"mh{j}")
         for j, (a, b) in enumerate(seeds(num_hashes))
     ] + [F.count(F.lit(1)).alias("sz")]
-    sig = sh.groupBy("id").agg(*aggs)
+    # the signature table is one row per doc — localCheckpoint it so the
+    # band self-join below reads a materialized table instead of
+    # re-running the 17-agg groupBy over every cached shingle row once
+    # per (band x join-side) consumer (8x at the default 4 bands —
+    # measured as the dominant cost of the round-6 plan, guide §2.4)
+    sig = sh.groupBy("id").agg(*aggs).localCheckpoint()
     n_bands = num_hashes // band_rows
-    parts = [
-        sig.select(
-            "id",
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "_", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
-            ).alias("v"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = parts[0]
-    for p in parts[1:]:
-        bands = bands.unionAll(p)
+    bandarr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+                ).alias("v"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select("id", F.explode(bandarr).alias("_bv")).select(
+        "id", F.col("_bv.band").alias("band"), F.col("_bv.v").alias("v")
+    )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), on=["band", "v"])
@@ -205,19 +224,18 @@ def minhash_near_dup_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    # exact-Jaccard refinement on candidates only. Intersections use a
+    # exact-Jaccard refinement on candidates only. Intersections use the
     # 60-bit md5-prefix hash of each shingle (long compares ~10x faster
     # than strings; collision odds ~|vocab|^2 / 2^61 — negligible, and
     # equal for Spark and the SQL oracle since both compare exact sets
     # up to that hash).
-    h60 = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
-    keyed = sh.withColumn("k", h60).select("id", "k").dropDuplicates(["id", "k"])
-    # sizes count distinct shingle STRINGS (what the SQL oracle counts),
-    # not distinct h60 values — identical unless a within-doc h60
-    # collision occurs
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    keyed = sh.select("id", "k").dropDuplicates(["id", "k"])
+    # sizes count distinct shingle STRINGS (what the SQL oracle counts)
+    # = the per-doc row count the signature aggregate already computed
+    sizes = sig.select("id", "sz")
     if refine == "auto":
-        refine = "broadcast" if sh.count() <= broadcast_max_shingles else "counting"
+        n_shingles = sig.agg(F.sum("sz")).first()[0] or 0
+        refine = "broadcast" if n_shingles <= broadcast_max_shingles else "counting"
     return _exact_jaccard_refine(cand, keyed, sizes, par, tau_num, tau_den, refine)
 
 
@@ -458,7 +476,9 @@ def simhash_wide_pairs(
         raise ValueError("banding is only pigeonhole-complete for max_hamming < n_bands")
     width = n_bits // n_bands
     mask = (1 << width) - 1
-    s = simhash_wide(docs, id_col, text_col, n_bits, hash_col)
+    # one row per doc — checkpoint so the band self-join below does not
+    # re-run the n_bits-sum token aggregation once per (band x side)
+    s = simhash_wide(docs, id_col, text_col, n_bits, hash_col).localCheckpoint()
     parts = []
     for band in range(n_bands):
         key = F.shiftrightunsigned(F.col("simhash"), width * band).bitwiseAND(F.lit(mask))
@@ -566,28 +586,32 @@ def minhash_near_dup_pairs_fast(
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sh = (
         shingles(docs.repartition(par), id_col, text_col, n)
-        .withColumn("h", F.pmod(F.xxhash64("s"), F.lit(P)))
+        .select("id", F.pmod(F.xxhash64("s"), F.lit(P)).alias("h"))
         .cache()
     )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"mh{j}")
         for j, (a, b) in enumerate(seeds(num_hashes))
     ] + [F.count(F.lit(1)).alias("sz")]
-    sig = sh.groupBy("id").agg(*aggs)
+    # same round-7 restructure as the md5 variant: checkpoint the tiny
+    # per-doc signature table once instead of re-aggregating the shingle
+    # cache per (band x join-side) consumer; sizes ride along on sig
+    sig = sh.groupBy("id").agg(*aggs).localCheckpoint()
     n_bands = num_hashes // band_rows
-    parts = [
-        sig.select(
-            "id",
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "_", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
-            ).alias("v"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = parts[0]
-    for p in parts[1:]:
-        bands = bands.unionAll(p)
+    bandarr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+                ).alias("v"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select("id", F.explode(bandarr).alias("_bv")).select(
+        "id", F.col("_bv.band").alias("band"), F.col("_bv.v").alias("v")
+    )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), on=["band", "v"])
@@ -596,9 +620,10 @@ def minhash_near_dup_pairs_fast(
         .distinct()
     )
     keyed = sh.select("id", F.col("h").alias("k")).dropDuplicates(["id", "k"])
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = sig.select("id", "sz")
     if refine == "auto":
-        refine = "broadcast" if sh.count() <= broadcast_max_shingles else "counting"
+        n_shingles = sig.agg(F.sum("sz")).first()[0] or 0
+        refine = "broadcast" if n_shingles <= broadcast_max_shingles else "counting"
     return _exact_jaccard_refine(cand, keyed, sizes, par, tau_num, tau_den, refine)
 
 
@@ -703,7 +728,9 @@ def simhash_pairs(
     """Pairs with SimHash Hamming distance <= max_hamming. Candidates
     collide on one of 4 bytes of the fingerprint (pigeonhole-complete
     for distance <= 3); refined by bit_count(xor)."""
-    s = simhash(docs, id_col, text_col)
+    # checkpointed for the same reason as simhash_wide_pairs: the band
+    # self-join would otherwise re-run the 32-sum aggregation 8x
+    s = simhash(docs, id_col, text_col).localCheckpoint()
     parts = []
     for byte in range(4):
         key = F.shiftrightunsigned(F.col("simhash"), 8 * byte).bitwiseAND(F.lit(0xFF))

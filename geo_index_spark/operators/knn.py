@@ -335,7 +335,12 @@ def _sparse_ring_refine(
     # ball, which holds >= k (r_old is certified), so cum >= k fires
     # unless clipping/wrap dropped cells, in which case keep r_old.
     if metric == "haversine":
+        # lon half-extent exceeds the meridian arc by 1/cos(lat) — the
+        # same correction jb applies below; without it a high-latitude
+        # window misses part of the r_old ball, the refinement silently
+        # no-ops and the boxcnt probe undercounts (ADVICE r6)
         half_deg = np.degrees(r_old / EARTH_RADIUS_M)
+        half_deg = half_deg / np.maximum(np.cos(np.radians(py)), 1e-6)
     else:
         half_deg = r_old
     jmax = np.ceil(half_deg / cell_f).astype(np.int64) + 1
@@ -459,6 +464,7 @@ def _knn_point_candidates(
     bounds: tuple[float, float, float, float],
     level: int,
     metric: str,
+    shuffle_hash: bool = True,
 ) -> DataFrame:
     """Candidate (left_id, right_id, dist, r) pairs for one knn_join
     round: every right point lying in a grid cell touched by the left's
@@ -532,13 +538,15 @@ def _knn_point_candidates(
         ).alias("cell"),
     )
     # SHUFFLE_HASH on the exploded-lefts side: the partitioned-bucket
-    # join's build side is the exploded lefts (a sample-sized subset of
-    # the workload; ~9 cells/left), orders of magnitude smaller than the
-    # right table per partition — a sort-merge join would SORT all of
-    # right by cell, the single most expensive part of the round-0 job
-    # (measured ~1/3 of the 32M top job). The hint is per-join, so no
-    # session-wide preferSortMergeJoin change leaks to other operators.
-    j = le.hint("SHUFFLE_HASH").join(re, "cell", "inner")
+    # join's build side is the exploded lefts (~9 cells/left), far
+    # smaller than the right table per partition — a sort-merge join
+    # would SORT all of right by cell, the single most expensive part of
+    # the round-0 job (measured ~1/3 of the 32M top job). The hint is
+    # per-join, so no session-wide preferSortMergeJoin change leaks to
+    # other operators. ``shuffle_hash=False`` (caller estimated the
+    # exploded lefts too big for an unspillable per-partition hash
+    # relation, ADVICE r6) falls back to the planner's sort-merge.
+    j = (le.hint("SHUFFLE_HASH") if shuffle_hash else le).join(re, "cell", "inner")
     if residual is not None:
         j = j.filter(residual)
     if metric == "haversine":
@@ -756,6 +764,14 @@ def knn_join(
     debug = bool(os.environ.get("GEO_KNN_DEBUG"))
     t_init = _time.perf_counter()
 
+    def _dbg(msg: str) -> None:
+        if debug:
+            print(
+                f"[knn_join]   init+{_time.perf_counter() - t_init:.1f}s {msg}",
+                file=sys.stderr,
+                flush=True,
+            )
+
     if metric not in ("euclidean", "haversine"):
         raise ValueError(f"metric must be euclidean|haversine, got {metric!r}")
     R_EARTH = 6378137.0
@@ -777,6 +793,10 @@ def knn_join(
     rpts = right.select(
         F.col(right_id).alias("rid"), F.col(rx).alias("qx"), F.col(ry).alias("qy")
     ).persist(_SL.MEMORY_AND_DISK)
+    try:
+        n_shuffle = int(lpts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_shuffle = 200  # conf may be "auto" on some platforms
 
     def _empty_result() -> DataFrame:
         rpts.unpersist(blocking=False)
@@ -790,6 +810,16 @@ def knn_join(
             )
         )
 
+    if right_count is not None and bounds is None:
+        # the metadata fast path needs BOTH; surface the miss instead of
+        # silently recomputing the full min/max/count agg (ADVICE r6)
+        import warnings
+
+        warnings.warn(
+            "knn_join: right_count is only used together with bounds — "
+            "pass bounds too to skip the min/max/count pass over right",
+            stacklevel=2,
+        )
     if bounds is not None and right_count is not None and right_count > 0:
         # metadata fast path: when the caller knows the domain AND the
         # right cardinality (at production scale both come free from
@@ -881,6 +911,7 @@ def knn_join(
     # and every post-transition round. Density-guess round 0 (and a
     # user-supplied init_radius round 0) are False.
     certified_radii = False
+    seed_pdf = None  # driver-resident seed frame (small-left path)
     if init_radius is not None:
         r0 = F.lit(min(max(float(init_radius), r_floor), cover_r))
         remaining = lpts.select("lid", "px", "py", r0.alias("r"))
@@ -898,19 +929,21 @@ def knn_join(
             .localCheckpoint()
         )
         C_df = C
+        _dbg("coarse density counts checkpointed")
         # bounded probe instead of a full lpts.count() (ADVICE r5): a
         # LIMIT of threshold+1 rows decides the branch, and when the
         # left IS small the probe already holds every row — reuse it
         # and skip the second collect entirely.
         probe_pdf = lpts.limit(CERT_UPFRONT_MAX_LEFTS + 1).toPandas()
+        _dbg("left-size probe collected")
         if len(probe_pdf) <= CERT_UPFRONT_MAX_LEFTS:
             # small left side: certified-complete ring radii for ALL
             # lefts up front (one bounded collect + vectorized numpy)
             # — round 0 certifies everything, the loop runs ONCE, and
             # the whole density-estimate stage (dilation + fine-count
-            # joins) is skipped. Both metrics.
-            from pyspark.sql.types import DoubleType, StructField, StructType
-
+            # joins) is skipped. Both metrics. The frame is built below
+            # via _remaining_from_pdf so the quantized level rides
+            # along as a column and bucket stats need no Spark job.
             P0 = _prefix()
             pdf = probe_pdf
             rb0 = _ring_certified_radii(
@@ -925,15 +958,20 @@ def knn_join(
                 cover_r,
                 r_floor,
             )
-            remaining = lpts.sparkSession.createDataFrame(
-                pdf.assign(r=rb0),
-                schema=StructType(
-                    list(lpts.schema.fields) + [StructField("r", DoubleType(), False)]
-                ),
-            )
+            seed_pdf = pdf.assign(r=rb0)
+            remaining = None
             certified_radii = True
         else:
-            mx = C.agg(F.max("cnt")).first()[0] or 1
+            # ONE tiny job on checkpointed C serves both the max-count
+            # (densest-cell radius scale) and the dense-cell count that
+            # previously ran as a second job
+            crow = C.agg(
+                F.max("cnt").alias("mx"),
+                F.sum((F.col("cnt") >= 512).cast("long")).alias("nd"),
+            ).first()
+            mx = crow["mx"] or 1
+            n_dense = int(crow["nd"] or 0)
+            _dbg("density-grid stats aggregated")
             dense_r = cell_d * math.sqrt(float(k) / max(float(mx), 1.0)) * unit
             # 3x3-neighborhood sum: dilate C by the 9 offsets, re-aggregate,
             # then each left looks up its OWN cell — lefts stay un-exploded
@@ -952,6 +990,12 @@ def knn_join(
                 .groupBy(F.col("_o.ncx").alias("ncx"), F.col("_o.ncy").alias("ncy"))
                 .agg(F.sum("cnt").alias("S"))
             )
+            if nc_d <= 1024:
+                # <= (1026)^2 dilated cells = a few MB — broadcast so the
+                # per-left density lookup below never shuffles the lefts
+                # (the planner has no row estimate for a post-explode
+                # aggregate and falls back to a sort-merge join)
+                N = F.broadcast(N)
             # FINE refinement: the coarse estimate dilutes clusters much
             # smaller than a coarse cell (a 0.2-degree city inside a
             # 1.4-degree cell reads ~20x too sparse -> radii ~20x too big ->
@@ -980,7 +1024,6 @@ def knn_join(
             # a mildly-diluted coarse estimate (one extra round for a small
             # cohort at worst).
             dense_cells = C.filter(F.col("cnt") >= 512).select("ccx", "ccy")
-            n_dense = dense_cells.count()  # tiny job on checkpointed C
             if n_dense <= 500_000:
                 dense_cells = F.broadcast(dense_cells)
             Cf = None
@@ -1045,8 +1088,20 @@ def knn_join(
             r0 = F.least(F.greatest(r0 * F.lit(unit), F.lit(r_floor)), F.lit(cover_r))
             remaining = joined.select("lid", "px", "py", r0.alias("r"))
     # lazy checkpoint: the first bucket-stats job below materializes it,
-    # so init costs ONE barrier (checkpoint+stats fused), not two
-    remaining = remaining.localCheckpoint(eager=False)
+    # so init costs ONE barrier (checkpoint+stats fused), not two.
+    # (For the driver-resident seed path the checkpoint and the bucket
+    # stats are both handled after the level helpers are defined.)
+    # The skinny (lid, px, py, r) frame is coalesced to the scheduler's
+    # default parallelism first: the density plan inherits the full
+    # shuffle width from its exchanges, and every later consumer
+    # (bucket stats, transition anti join + ring udf, tail collects)
+    # would otherwise launch that many near-empty tasks per job —
+    # measured ~2 s/round of pure task launch at 256 partitions for a
+    # 250k-row frame. defaultParallelism scales with the cluster, so
+    # this is not a local-mode constant.
+    if remaining is not None:
+        dp = max(1, lpts.sparkSession.sparkContext.defaultParallelism)
+        remaining = remaining.coalesce(dp).localCheckpoint(eager=False)
 
     # PER-LEFT grid level, every round: one level cannot serve mixed
     # radii (tiny boxes in a coarse cell cross-product the whole cell's
@@ -1065,18 +1120,65 @@ def knn_join(
             * F.floor(F.log2(F.lit(ext_u) / (F.col("r") * 2.0)) / F.lit(2.0)),
         ),
     ).cast("int")
+    # lvl_active: the per-row level the CURRENT round's filters and
+    # joins read. Normally the lvl_col expression; when `remaining` was
+    # just built from a driver-resident pandas frame the level is
+    # materialized as a `_lvl` column instead (numpy twin of lvl_col),
+    # so bucket stats come from the same numpy array with NO Spark job
+    # and the filters can never drift from the stats (any level is
+    # correct — touched cells cover the box at every resolution — so an
+    # ulp difference between numpy log2 and JVM log2 is harmless once
+    # both read the same materialized value).
+    lvl_active = lvl_col
+
+    def _lvl_np(r_arr):
+        import numpy as np
+
+        r_arr = np.asarray(r_arr, np.float64)
+        with np.errstate(divide="ignore"):
+            lv = 2.0 * np.floor(np.log2(ext_u / (r_arr * 2.0)) / 2.0)
+        lv = np.where(np.isfinite(lv), lv, 16.0)
+        return np.clip(lv, 4.0, 16.0).astype("int64")
+
+    def _buckets_np(pdf) -> list[tuple[int, int, float]]:
+        out: dict[int, tuple[int, float]] = {}
+        for lv, r_ in zip(pdf["_lvl"].to_numpy(), pdf["r"].to_numpy()):
+            c, m = out.get(int(lv), (0, 0.0))
+            out[int(lv)] = (c + 1, max(m, float(r_)))
+        return sorted((lv, c, m) for lv, (c, m) in out.items())
+
+    def _remaining_from_pdf(pdf):
+        from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+        pdf = pdf.assign(_lvl=_lvl_np(pdf["r"].to_numpy()))
+        df = lpts.sparkSession.createDataFrame(
+            pdf,
+            schema=StructType(
+                list(lpts.schema.fields)
+                + [
+                    StructField("r", DoubleType(), False),
+                    StructField("_lvl", LongType(), False),
+                ]
+            ),
+        )
+        return df, _buckets_np(pdf)
 
     def _bucket_stats() -> list[tuple[int, int, float]]:
         # one tiny job on the checkpointed tail doubles as the
         # round-end count barrier: n_rem = sum of bucket counts
         return sorted(
             (row["_lvl"], row["cnt"], row["rmx"])
-            for row in remaining.groupBy(lvl_col.alias("_lvl"))
+            for row in remaining.groupBy(lvl_active.alias("_lvl"))
             .agg(F.count(F.lit(1)).alias("cnt"), F.max("r").alias("rmx"))
             .collect()
         )
 
-    buckets = _bucket_stats()
+    if seed_pdf is not None:
+        remaining, buckets = _remaining_from_pdf(seed_pdf)
+        lvl_active = F.col("_lvl")
+        remaining = remaining.localCheckpoint(eager=False)
+    else:
+        buckets = _bucket_stats()
     n_rem = sum(c for _, c, _ in buckets)
     if debug:
         print(
@@ -1126,6 +1228,9 @@ def knn_join(
 
         return rb
 
+    tail_region = None  # tracked here so an exception mid-round cannot
+    # leak the persisted tail neighborhood (ADVICE r6) — the finally
+    # block unpersists whatever is still live
     try:
         for round_idx in range(max_rounds):
             if n_rem == 0:
@@ -1178,7 +1283,14 @@ def knn_join(
                             x1 = max(0, min(nc_d - 1, int((mxx - bounds[0]) / cell_d)))
                             y0 = max(0, min(nc_d - 1, int((mny - bounds[1]) / cell_d)))
                             y1 = max(0, min(nc_d - 1, int((mxy - bounds[1]) / cell_d)))
+                            if (x1 - x0 + 1) * (y1 - y0 + 1) > 60_000:
+                                # one near-cover-radius left alone blows
+                                # the cap — abort before sweeping up to
+                                # nc_d^2 Python loop steps (ADVICE r6)
+                                return None
                             for cx_ in range(x0, x1 + 1):
+                                if len(cs) > 60_000:
+                                    return None
                                 for cy_ in range(y0, y1 + 1):
                                     cs.add(cx_ * nc_d + cy_)
                         if len(cs) > 60_000:
@@ -1271,12 +1383,6 @@ def knn_join(
                                 flush=True,
                             )
                         if (r_new < tail_pdf["r"].to_numpy()).any():
-                            from pyspark.sql.types import (
-                                DoubleType,
-                                StructField,
-                                StructType,
-                            )
-
                             if debug:
                                 print(
                                     f"[knn_join] round {round_idx} ring refine: "
@@ -1287,14 +1393,10 @@ def knn_join(
                                     flush=True,
                                 )
                             tail_pdf = tail_pdf.assign(r=r_new)
-                            remaining = rpts.sparkSession.createDataFrame(
-                                tail_pdf,
-                                schema=StructType(
-                                    list(lpts.schema.fields)
-                                    + [StructField("r", DoubleType(), False)]
-                                ),
-                            )
-                            buckets = _bucket_stats()
+                            # driver-resident rebuild: materialized _lvl
+                            # column + numpy bucket stats — no Spark job
+                            remaining, buckets = _remaining_from_pdf(tail_pdf)
+                            lvl_active = F.col("_lvl")
                             tail_rows = list(
                                 zip(tail_pdf["px"], tail_pdf["py"], tail_pdf["r"])
                             )
@@ -1325,10 +1427,10 @@ def knn_join(
             # ~the box contents. Correctness is level-independent:
             # touched cells cover the box at ANY resolution, which is all
             # certification needs.
-            lvl_eff = lvl_col
+            lvl_eff = lvl_active
             buckets_eff = buckets
             if n_rem <= TAIL_MAX_LEFTS:
-                lvl_eff = F.least(F.lit(16), lvl_col + F.lit(TAIL_LVL_EXTRA))
+                lvl_eff = F.least(F.lit(16), lvl_active + F.lit(TAIL_LVL_EXTRA))
                 merged: dict[int, tuple[int, float]] = {}
                 for lvl, cnt, rmx in buckets:
                     l2 = min(16, int(lvl) + TAIL_LVL_EXTRA)
@@ -1341,34 +1443,85 @@ def knn_join(
             # broadcast decision sizes the EXPLODED row count —
             # quantization keeps boxes <= ~3x3 cells except at the
             # level-4 clamp (near-cover radii), where the factor grows.
-            small: list[tuple[int, float]] = []  # (lvl, est. exploded rows)
-            big_lvls: list[int] = []
+            small: list[list] = []  # [lvl, cnt, rmx, est. exploded rows]
+            big_parts: list[tuple[int, float]] = []  # (lvl, est)
             for lvl, cnt, rmx in buckets_eff:
                 cell_u = ext_u / (1 << int(lvl))
                 explode_factor = (2.0 * float(rmx) / cell_u + 2.0) ** 2
                 if cnt <= bcast_lefts and cnt * explode_factor <= 2_000_000:
-                    small.append((int(lvl), cnt * explode_factor))
+                    small.append([int(lvl), cnt, float(rmx), cnt * explode_factor])
                 else:
-                    big_lvls.append(int(lvl))
-            small_rows = sum(e for _, e in small)
+                    big_parts.append((int(lvl), cnt * explode_factor))
+            # LEVEL MERGE (round 7): the multilevel broadcast join
+            # explodes EVERY right point once per present level, so each
+            # extra level is a full extra probe pass over right. Fold a
+            # coarser broadcast bucket into the next finer one whenever
+            # its re-estimated exploded rows stay under the same 2M cap
+            # — finer cells still cover the box (any level is correct),
+            # the only cost is more broadcast rows. The 16M bench shape
+            # went from 4 present levels to 2, halving the probe rows.
+            small.sort()
+            lvl_remap: dict[int, int] = {}
+            i = 0
+            while i < len(small) - 1:
+                lvl_s, cnt_s, rmx_s, _ = small[i]
+                lvl_t, cnt_t, rmx_t, est_t = small[i + 1]
+                cell_t = ext_u / (1 << int(lvl_t))
+                ef_t = (2.0 * float(rmx_s) / cell_t + 2.0) ** 2
+                if cnt_s * ef_t <= 2_000_000:
+                    for s_, d_ in list(lvl_remap.items()):
+                        if d_ == lvl_s:
+                            lvl_remap[s_] = lvl_t
+                    lvl_remap[lvl_s] = lvl_t
+                    small[i + 1] = [
+                        lvl_t,
+                        cnt_s + cnt_t,
+                        max(rmx_s, rmx_t),
+                        est_t + cnt_s * ef_t,
+                    ]
+                    small.pop(i)
+                else:
+                    i += 1
+            small_rows = sum(e for _, _, _, e in small)
             while small_rows > 4_000_000 and len(small) > 1:
                 # combined broadcast too big — demote the bucket with
                 # the largest estimated exploded row count, keeping the
                 # broadcast savings for the rest (ADVICE r4)
-                worst = max(range(len(small)), key=lambda i: small[i][1])
-                lvl_w, est_w = small.pop(worst)
-                big_lvls.append(lvl_w)
+                worst = max(range(len(small)), key=lambda i: small[i][3])
+                lvl_w, _, _, est_w = small.pop(worst)
+                big_parts.append((lvl_w, est_w))
                 small_rows -= est_w
-            small_lvls = [lvl for lvl, _ in small]
+            lvl_mapped = lvl_eff
+            if lvl_remap:
+                lvl_mapped = F.coalesce(
+                    *[
+                        F.when(lvl_eff == F.lit(int(s_)), F.lit(int(d_)))
+                        for s_, d_ in lvl_remap.items()
+                    ],
+                    lvl_eff,
+                )
+            small_lvls = [lvl for lvl, *_ in small]
             cand = None
             if small_lvls:
-                sub = remaining.filter(lvl_eff.isin([int(l) for l in small_lvls]))
+                sub = remaining.filter(lvl_mapped.isin([int(l) for l in small_lvls]))
                 cand = _knn_point_candidates_multi(
-                    sub, rpts_src, bounds, small_lvls, metric, lvl_eff
+                    sub, rpts_src, bounds, small_lvls, metric, lvl_mapped
                 )
-            for lvl in big_lvls:
-                sub = remaining.filter(lvl_eff == F.lit(int(lvl)))
-                c = _knn_point_candidates(sub, rpts_src, bounds, int(lvl), metric)
+            for lvl, est in big_parts:
+                sub = remaining.filter(lvl_mapped == F.lit(int(lvl)))
+                # SHUFFLE_HASH builds the exploded lefts into an
+                # unspillable per-partition hash relation — gate it on
+                # the estimated exploded rows per shuffle partition
+                # (~200k rows/partition budget, ADVICE r6); oversized
+                # buckets fall back to the spill-safe sort-merge join
+                c = _knn_point_candidates(
+                    sub,
+                    rpts_src,
+                    bounds,
+                    int(lvl),
+                    metric,
+                    shuffle_hash=est <= 200_000 * n_shuffle,
+                )
                 cand = c if cand is None else cand.unionAll(c)
             scored = cand
             if max_distance is not None:
@@ -1456,6 +1609,7 @@ def knn_join(
             top = top.localCheckpoint()  # the round's ONE heavy job
             if tail_region is not None:
                 tail_region.unpersist(blocking=False)
+                tail_region = None
             if debug:
                 print(
                     f"[knn_join]   round {round_idx} top job: "
@@ -1466,6 +1620,14 @@ def knn_join(
                 t_sub = _time.perf_counter()
             parts.append(top.filter(certified).select("left_id", "right_id", "dist"))
             done = top.filter(certified).select("left_id")
+            if n_rem <= 2_000_000:
+                # the certified-id list is bounded by the round's live
+                # lefts — broadcast it so the anti join below probes a
+                # hash relation instead of exchanging BOTH remaining and
+                # done across the full shuffle width (two 256-task
+                # exchanges measured ~2.7 s of the 16M round-0
+                # transition for ~250k-row inputs)
+                done = F.broadcast(done)
             # full-cover lefts certify even with < k (or zero) candidates
             # — the r < cover filter drops them whether or not they
             # produced rows; everyone else leaves via the anti join.
@@ -1505,6 +1667,7 @@ def knn_join(
                 .localCheckpoint(eager=False)
             )
             certified_radii = True  # every transition radius is certified
+            lvl_active = lvl_col  # rebuilt frame has no _lvl column
             buckets = _bucket_stats()
             n_rem = sum(c for _, c, _ in buckets)
             if debug:
@@ -1524,6 +1687,8 @@ def knn_join(
             raise RuntimeError("knn_join did not converge within max_rounds")
     finally:
         rpts.unpersist(blocking=False)
+        if tail_region is not None:
+            tail_region.unpersist(blocking=False)
     if not parts:  # empty left table: no rounds ran
         return _empty_result()
     out = parts[0]

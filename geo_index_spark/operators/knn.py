@@ -1027,9 +1027,22 @@ def knn_join(
             if n_dense <= 500_000:
                 dense_cells = F.broadcast(dense_cells)
             Cf = None
+            # the fine count is a density HINT only (radius sizing —
+            # certification never reads it), so at large |right| an
+            # eighth-rate deterministic sample with counts scaled back
+            # up gives the same radii to within a few percent while the
+            # fine-count aggregation hashes 8x fewer rows (the dense
+            # regions are >= 512 rows/coarse cell by construction, so a
+            # trusted fine cell still samples >= ~100 rows). Small
+            # rights keep exact counts — fixture-scale estimates would
+            # otherwise be noise.
+            cf_rate = 0.125 if n_right >= 4_000_000 else 1.0
+            cf_src = rpts if cf_rate >= 1.0 else rpts.sample(
+                fraction=cf_rate, seed=7
+            )
             if n_dense:  # no dense cells -> skip the fine pass entirely
                 Cf = (
-                    rpts.join(
+                    cf_src.join(
                         dense_cells,
                         (_coarse_cell(F.col("qx"), bounds[0]) == F.col("ccx"))
                         & (_coarse_cell(F.col("qy"), bounds[1]) == F.col("ccy")),
@@ -1041,7 +1054,7 @@ def knn_join(
                             + _fine_cell(F.col("qy"), bounds[1])
                         ).alias("fcell")
                     )
-                    .agg(F.count(F.lit(1)).alias("fcnt"))
+                    .agg((F.count(F.lit(1)) / F.lit(cf_rate)).alias("fcnt"))
                 )
             lcell = lpts.select(
                 "lid",

@@ -229,7 +229,10 @@ def minhash_near_dup_pairs(
     # than strings; collision odds ~|vocab|^2 / 2^61 — negligible, and
     # equal for Spark and the SQL oracle since both compare exact sets
     # up to that hash).
-    keyed = sh.select("id", "k").dropDuplicates(["id", "k"])
+    # NOT pre-deduped: the broadcast refine dedupes via collect_set for
+    # free and the counting refine dedupes after its semi-join prune —
+    # a full (id, k) dropDuplicates exchange here would be pure overhead
+    keyed = sh.select("id", "k")
     # sizes count distinct shingle STRINGS (what the SQL oracle counts)
     # = the per-doc row count the signature aggregate already computed
     sizes = sig.select("id", "sz")
@@ -249,19 +252,28 @@ def _exact_jaccard_refine(
     refine: str,
 ) -> DataFrame:
     """Exact integer-threshold Jaccard over candidate pairs. ``cand`` is
-    (a, b); ``keyed`` is the deduped (id, k) shingle-key table; ``sizes``
-    is (id, sz). Both strategies produce identical output (pytest-pinned):
-    ``broadcast`` ships per-doc sorted key sets to every executor (fast
-    while the corpus' sets fit in executor memory), ``counting`` is the
-    candidates x shingles counting join — pure shuffle, no memory
-    ceiling, the 100 TB path."""
+    (a, b); ``keyed`` is the (id, k) shingle-key table — it MAY contain
+    duplicate (id, k) rows (within-doc hash collisions): ``broadcast``
+    dedupes through ``collect_set`` for free, ``counting`` dedupes
+    explicitly before counting. ``sizes`` is (id, sz). Both strategies
+    produce identical output (pytest-pinned): ``broadcast`` ships
+    per-doc sorted key sets to every executor (fast while the corpus'
+    sets fit in executor memory), ``counting`` is the candidates x
+    shingles counting join — pure shuffle, no memory ceiling, the
+    100 TB path."""
     # AQE would coalesce millions of candidate pairs into one task; the
     # refine stage must stay wide
     cand = cand.repartition(par, "a", "b")
     if refine == "broadcast":
-        sets = keyed.groupBy("id").agg(
-            F.sort_array(F.collect_set("k")).alias("hs")
-        ).join(sizes, "id")
+        # one row per doc with a sorted key array — checkpoint it so the
+        # two broadcast builds below read one materialization instead of
+        # each re-running the collect_set aggregation over every shingle
+        sets = (
+            keyed.groupBy("id")
+            .agg(F.sort_array(F.collect_set("k")).alias("hs"))
+            .join(sizes, "id")
+            .localCheckpoint()
+        )
         inter = (
             cand.join(
                 F.broadcast(sets.select(F.col("id").alias("a"), F.col("hs").alias("ha"), F.col("sz").alias("sza"))),
@@ -286,7 +298,7 @@ def _exact_jaccard_refine(
             .union(cand.select(F.col("b").alias("id")))
             .distinct()
         )
-        shp = keyed.join(cand_ids, "id", "left_semi")
+        shp = keyed.join(cand_ids, "id", "left_semi").dropDuplicates(["id", "k"])
         pa = shp.select(F.col("id").alias("a"), "k")
         pb = shp.select(F.col("id").alias("b"), "k")
         inter = (
@@ -619,7 +631,7 @@ def minhash_near_dup_pairs_fast(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    keyed = sh.select("id", F.col("h").alias("k")).dropDuplicates(["id", "k"])
+    keyed = sh.select("id", F.col("h").alias("k"))  # refine dedupes (see md5 variant)
     sizes = sig.select("id", "sz")
     if refine == "auto":
         n_shingles = sig.agg(F.sum("sz")).first()[0] or 0

@@ -39,6 +39,12 @@ from pyspark.sql import functions as F
 
 BOX = ("minx", "miny", "maxx", "maxy")
 
+# spatial_join auto-hint scale guard: estimated build-side bytes per
+# shuffle partition above which the SHUFFLE_HASH hint is withheld (the
+# per-partition hash relation cannot spill; sort-merge wins past this —
+# see the measurement note at the hint site)
+SHUFFLE_HASH_BUILD_BUDGET = 2 * 1024 * 1024
+
 
 def _cell_coord(v: Column, lo: float, inv_w: float, nc: int) -> Column:
     """Grid cell index of coordinate v, clamped to [0, nc-1]."""
@@ -262,10 +268,30 @@ def spatial_join(
         thr = _auto_broadcast_threshold(left.sparkSession)
         lsz = _plan_size_bytes(left)
         rsz = _plan_size_bytes(right)
-        if lsz is not None and rsz is not None and lsz > thr and rsz > thr:
+        try:
+            n_part = int(
+                left.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            n_part = 200
+        if (
+            lsz is not None
+            and rsz is not None
+            and lsz > thr
+            and rsz > thr
+            and rsz <= SHUFFLE_HASH_BUILD_BUDGET * n_part
+        ):
             # neither raw side can broadcast, so the planner would fall
             # back to sorting both exploded sides; build hash maps from
-            # the right (point/smaller-by-convention) side instead
+            # the right (point/smaller-by-convention) side instead.
+            # Scale guard: the shuffled-hash build side is an
+            # UNSPILLABLE per-partition hash relation — only hint while
+            # the estimated build bytes per shuffle partition stay
+            # small. Interleaved min-of-4 A/B on the synth self-join
+            # (clean windows): 16M rows (1.5 MB/partition) SHJ 3.34 s
+            # vs SMJ 3.78 s; 32M (3 MB) SMJ 7.9 vs SHJ 8.8; 64M (6 MB)
+            # SMJ 19.1 vs SHJ 26.4 with heavy GC variance — past the
+            # budget, sort-merge spills gracefully and wins.
             re = re.hint("SHUFFLE_HASH")
 
     le = le.withColumnRenamed("cx", "l_cx").withColumnRenamed("cy", "l_cy")

@@ -1525,15 +1525,17 @@ def knn_join(
                 # SHUFFLE_HASH builds the exploded lefts into an
                 # unspillable per-partition hash relation — gate it on
                 # the estimated exploded rows per shuffle partition
-                # (~200k rows/partition budget, ADVICE r6); oversized
-                # buckets fall back to the spill-safe sort-merge join
+                # (~50k rows / ~2.5 MB per partition, the budget the
+                # round-7 spatial_join A/B put on unspillable builds;
+                # ADVICE r6); oversized buckets fall back to the
+                # spill-safe sort-merge join
                 c = _knn_point_candidates(
                     sub,
                     rpts_src,
                     bounds,
                     int(lvl),
                     metric,
-                    shuffle_hash=est <= 200_000 * n_shuffle,
+                    shuffle_hash=est <= 50_000 * n_shuffle,
                 )
                 cand = c if cand is None else cand.unionAll(c)
             scored = cand

@@ -323,7 +323,28 @@ def lsh_cosine_near_dup_pairs_fast(
     # (groupBy().applyInPandas would build a pandas frame + make a Python
     # call PER GROUP — with ~n_bands * 2^n_planes tiny groups that
     # per-group machinery dominated the runtime.)
-    parts = bands.repartition("gk").sortWithinPartitions("gk")
+    # Width is sized from Catalyst's estimate of the banded bytes
+    # (~32 MB/partition target) instead of inheriting the session
+    # shuffle width: every task of this stage is an Arrow round trip
+    # through a Python worker, so hundreds of near-empty tasks cost
+    # real wall-clock; floor = defaultParallelism (scales with the
+    # cluster), ceiling = the session shuffle width.
+    sess = emb.sparkSession
+    dp = max(1, sess.sparkContext.defaultParallelism)
+    try:
+        sess_width = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        sess_width = 200
+    est = None
+    try:
+        est = int(emb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        pass
+    if est is not None and est > 0:
+        n_ref = max(dp, min(sess_width, (est * n_bands) // (32 << 20) + 1))
+    else:
+        n_ref = sess_width
+    parts = bands.repartition(int(n_ref), "gk").sortWithinPartitions("gk")
     t = float(tau)
     BLK = 2048
 
@@ -398,7 +419,10 @@ def lsh_cosine_near_dup_pairs_fast(
                 yield out
 
     pairs = parts.mapInArrow(refine, "a_id long, b_id long")
-    return pairs.distinct()
+    # explicit repartition on the pair key feeds the dedup groupBy its
+    # partitioning (one exchange at the refine width, not a second
+    # session-width exchange)
+    return pairs.repartition(int(n_ref), "a_id", "b_id").dropDuplicates()
 
 
 def lsh_cosine_near_dup_pairs_sql(

@@ -233,13 +233,16 @@ def spatial_join(
     split still applies); pass ``None`` if a single cell's rows may not
     fit executor memory."""
     if bounds is None or grid_level is None:
+        # self-joins compute side stats once; two-sided inputs run one
+        # small agg per side (a fused union+groupBy variant was A/B'd
+        # in r7 and lost ~0.1 s warm to extra codegen at bench scale —
+        # _both_side_stats remains available for high-job-latency
+        # clusters)
         same_side = left is right and left_cols == right_cols
-        if same_side:
-            ls = rs = _side_stats(left, left_cols, need_avg=grid_level is None)
-        else:
-            ls, rs = _both_side_stats(
-                left, left_cols, right, right_cols, need_avg=grid_level is None
-            )
+        ls = _side_stats(left, left_cols, need_avg=grid_level is None)
+        rs = ls if same_side else _side_stats(
+            right, right_cols, need_avg=grid_level is None
+        )
         if bounds is None:
             bounds = (
                 min(ls[0], rs[0]),
@@ -267,7 +270,7 @@ def spatial_join(
     elif join_hint == "auto":
         thr = _auto_broadcast_threshold(left.sparkSession)
         lsz = _plan_size_bytes(left)
-        rsz = _plan_size_bytes(right)
+        rsz = lsz if right is left else _plan_size_bytes(right)
         try:
             n_part = int(
                 left.sparkSession.conf.get("spark.sql.shuffle.partitions")
